@@ -1,0 +1,193 @@
+"""NHWC convolution primitives with torch-compatible semantics.
+
+Design notes (TPU-first):
+- NHWC activations + HWIO kernels: the native TPU layout; XLA tiles the
+  contraction onto the MXU without transposes.
+- Padding is materialised with jnp.pad only for reflect/replicate modes
+  (reference uses reflect pads: ffc.py:190, pix2pixhd.py:54); zero padding is
+  passed straight to the convolution so XLA can fuse it.
+- `ConvTranspose2d` reproduces torch's ConvTranspose2d(k, s, p, output_padding)
+  exactly via an input-dilated convolution with a spatially-flipped kernel —
+  this is what the reference upsampling path uses (ffc.py:350).
+- Compute dtype is a parameter (`dtype`): params live in fp32
+  (`param_dtype`), activations/weights are cast for the op (bf16-ready).
+"""
+from typing import Any, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .pad import pad2d
+
+Dtype = Any
+
+
+def _pair(v) -> Tuple[int, int]:
+    if isinstance(v, (tuple, list)):
+        return tuple(v)
+    return (v, v)
+
+
+def conv2d(x, kernel, bias=None, stride=1, padding=0, dilation=1, groups=1,
+           padding_mode='zeros'):
+    """Functional 2-D convolution, NHWC input, HWIO kernel, torch semantics."""
+    stride = _pair(stride)
+    dilation = _pair(dilation)
+    padding = _pair(padding) if not (isinstance(padding, (tuple, list)) and
+                                     isinstance(padding[0], (tuple, list))) else padding
+    if isinstance(padding[0], int):
+        padding = ((padding[0], padding[0]), (padding[1], padding[1]))
+
+    if padding_mode != 'zeros' and any(p != 0 for pair in padding for p in pair):
+        x = pad2d(x, padding, mode=padding_mode)
+        conv_padding = ((0, 0), (0, 0))
+    else:
+        conv_padding = padding
+
+    out = jax.lax.conv_general_dilated(
+        x, kernel,
+        window_strides=stride,
+        padding=conv_padding,
+        rhs_dilation=dilation,
+        feature_group_count=groups,
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+    )
+    if bias is not None:
+        out = out + bias.reshape((1, 1, 1, -1)).astype(out.dtype)
+    return out
+
+
+def conv_transpose2d(x, kernel, bias=None, stride=2, padding=1, output_padding=1,
+                     dilation=1):
+    """Functional transposed conv with torch ConvTranspose2d semantics.
+
+    kernel is HWIO with I=in_channels, O=out_channels (already transposed from
+    torch's (in, out, kh, kw) layout by the checkpoint converter). Equivalent
+    formulation: dilate the input by `stride`, pad by (dilation*(k-1) - p) low /
+    (dilation*(k-1) - p + output_padding) high, convolve with the spatially
+    flipped kernel.
+    """
+    stride = _pair(stride)
+    padding = _pair(padding)
+    output_padding = _pair(output_padding)
+    dilation = _pair(dilation)
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    pad_h = dilation[0] * (kh - 1) - padding[0]
+    pad_w = dilation[1] * (kw - 1) - padding[1]
+    flipped = jnp.flip(kernel, axis=(0, 1))
+    out = jax.lax.conv_general_dilated(
+        x, flipped,
+        window_strides=(1, 1),
+        padding=((pad_h, pad_h + output_padding[0]), (pad_w, pad_w + output_padding[1])),
+        lhs_dilation=stride,
+        rhs_dilation=dilation,
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+    )
+    if bias is not None:
+        out = out + bias.reshape((1, 1, 1, -1)).astype(out.dtype)
+    return out
+
+
+def avg_pool2d(x, kernel_size=2, stride=None):
+    """Average pooling, NHWC (reference: nn.AvgPool2d, ffc.py:123)."""
+    kernel_size = _pair(kernel_size)
+    stride = _pair(stride) if stride is not None else kernel_size
+    window = (1,) + kernel_size + (1,)
+    strides = (1,) + stride + (1,)
+    summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, window, strides, 'VALID')
+    return summed / (kernel_size[0] * kernel_size[1])
+
+
+def max_pool2d(x, kernel_size=2, stride=None):
+    kernel_size = _pair(kernel_size)
+    stride = _pair(stride) if stride is not None else kernel_size
+    window = (1,) + kernel_size + (1,)
+    strides = (1,) + stride + (1,)
+    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, window, strides, 'VALID')
+
+
+def adaptive_avg_pool2d(x, output_size=(1, 1)):
+    """Adaptive average pooling; only uniform cases (as used by the reference:
+    global pooling in SELayer squeeze_excitation.py:7, FFCSE ffc.py:24)."""
+    oh, ow = _pair(output_size)
+    _, h, w, _ = x.shape
+    if oh == 1 and ow == 1:
+        return jnp.mean(x, axis=(1, 2), keepdims=True)
+    assert h % oh == 0 and w % ow == 0, 'adaptive pool supports divisible sizes'
+    return avg_pool2d(x, (h // oh, w // ow))
+
+
+class Conv2d(nn.Module):
+    """Linen conv with torch nn.Conv2d init + semantics (NHWC/HWIO).
+
+    Weight init: kaiming_uniform(a=sqrt(5)) == uniform(±sqrt(1/fan_in)) over
+    (kh*kw*in/groups); bias uniform(±sqrt(1/fan_in)) — torch defaults, so
+    randomly-initialised training matches the reference distributionally.
+    """
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 3
+    stride: Union[int, Tuple[int, int]] = 1
+    padding: Union[int, Tuple[int, int]] = 0
+    dilation: Union[int, Tuple[int, int]] = 1
+    groups: int = 1
+    use_bias: bool = True
+    padding_mode: str = 'zeros'
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = _pair(self.kernel_size)
+        in_features = x.shape[-1]
+        fan_in = in_features // self.groups * kh * kw
+        bound = 1.0 / (fan_in ** 0.5)
+        init = nn.initializers.uniform(scale=2 * bound)  # uniform in [0, 2b) — shift below
+
+        def kaiming(key, shape, dtype):
+            return init(key, shape, dtype) - bound
+
+        kernel = self.param('kernel', kaiming,
+                            (kh, kw, in_features // self.groups, self.features),
+                            self.param_dtype)
+        bias = self.param('bias', kaiming, (self.features,), self.param_dtype) if self.use_bias else None
+        dtype = self.dtype or x.dtype
+        out = conv2d(x.astype(dtype), kernel.astype(dtype),
+                     bias=None if bias is None else bias,
+                     stride=self.stride, padding=self.padding, dilation=self.dilation,
+                     groups=self.groups, padding_mode=self.padding_mode)
+        return out
+
+
+class ConvTranspose2d(nn.Module):
+    """Linen transposed conv with torch ConvTranspose2d semantics (see
+    conv_transpose2d). Kernel param stored HWIO (I=in, O=out)."""
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 3
+    stride: Union[int, Tuple[int, int]] = 2
+    padding: Union[int, Tuple[int, int]] = 1
+    output_padding: Union[int, Tuple[int, int]] = 1
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = _pair(self.kernel_size)
+        in_features = x.shape[-1]
+        # torch fan_in for ConvTranspose2d uses weight.size(1) * kh * kw = out_ch * kh * kw
+        fan_in = self.features * kh * kw
+        bound = 1.0 / (fan_in ** 0.5)
+        init = nn.initializers.uniform(scale=2 * bound)
+
+        def kaiming(key, shape, dtype):
+            return init(key, shape, dtype) - bound
+
+        kernel = self.param('kernel', kaiming, (kh, kw, in_features, self.features),
+                            self.param_dtype)
+        bias = self.param('bias', kaiming, (self.features,), self.param_dtype) if self.use_bias else None
+        dtype = self.dtype or x.dtype
+        return conv_transpose2d(x.astype(dtype), kernel.astype(dtype),
+                                bias=None if bias is None else bias,
+                                stride=self.stride, padding=self.padding,
+                                output_padding=self.output_padding)
