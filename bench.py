@@ -1,0 +1,81 @@
+"""Headline benchmark: big-lama 512² inpainting throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Methodology: N=10 generator forwards chained through `lax.scan` inside one jit
+program, ending in a scalar reduction that is transferred to host — so the
+measurement waits for real device completion. (Through the axon relay,
+`block_until_ready` alone returns early and single-call timing is dominated by
+relay round-trip latency; the scan chain amortises both. See
+.claude/skills/verify/SKILL.md.)
+
+Baseline: the reference repo publishes no numbers (README.md:449-451 is
+"Training time & resources / TODO" — see BASELINE.md). We pin the baseline to
+an analytic A100 estimate for the PyTorch inference path (big-lama fp32,
+batch 8, 512²): ~0.6 TFLOP/image, A100 effective conv throughput with eager
+overheads → ~25 img/s. BASELINE.json's north-star target is 5× that
+(125 img/s/chip on v5e). vs_baseline = measured / 25.0.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+A100_BASELINE_IMG_S = 25.0
+BATCH = 8
+SIZE = 512
+CHAIN = 10
+REPEATS = 4
+
+
+def main():
+    from lama_tpu.models.ffc import FFCResNetGenerator
+
+    gen = FFCResNetGenerator(
+        input_nc=4, output_nc=3, ngf=64, n_downsampling=3, n_blocks=18,
+        add_out_act='sigmoid', dtype=jnp.bfloat16,
+        init_conv_kwargs=dict(ratio_gin=0, ratio_gout=0, enable_lfu=False),
+        downsample_conv_kwargs=dict(ratio_gin=0, ratio_gout=0, enable_lfu=False),
+        resnet_conv_kwargs=dict(ratio_gin=0.75, ratio_gout=0.75, enable_lfu=False))
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(BATCH, SIZE, SIZE, 3).astype(np.float32))
+    mask = jnp.zeros((BATCH, SIZE, SIZE, 1), jnp.float32)
+    mask = mask.at[:, SIZE // 4: SIZE // 2, SIZE // 4: SIZE // 2, :].set(1.0)
+    x0 = jnp.concatenate([img * (1 - mask), mask], axis=-1)
+    variables = jax.jit(lambda k, x: gen.init(k, x, train=False))(
+        jax.random.PRNGKey(0), x0)
+
+    @jax.jit
+    def chain(variables, img, mask):
+        def body(carry, _):
+            x = jnp.concatenate([carry * (1 - mask), mask], axis=-1)
+            pred = gen.apply(variables, x, train=False)
+            out = mask * pred + (1 - mask) * carry
+            return out.astype(jnp.float32), out.mean()
+        _, means = jax.lax.scan(body, img, jnp.arange(CHAIN))
+        return means.mean().reshape(1, 1)
+
+    np.asarray(chain(variables, img, mask))  # compile + warm
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        np.asarray(chain(variables, img, mask))  # transfer forces completion
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times)) / CHAIN
+    img_per_s = BATCH / dt
+
+    print(json.dumps({
+        'metric': f'big-lama {SIZE}^2 inpainted images/sec/chip (bf16, batch {BATCH})',
+        'value': round(img_per_s, 2),
+        'unit': 'img/s/chip',
+        'vs_baseline': round(img_per_s / A100_BASELINE_IMG_S, 2),
+    }))
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -1,0 +1,30 @@
+"""Model factories (mirror reference saicinpainting/training/modules/__init__.py:7-31)."""
+import logging
+
+from .ffc import FFCResNetGenerator, FFCNLayerDiscriminator
+from .pix2pixhd import (GlobalGenerator, MultiDilatedGlobalGenerator,
+                        MultidilatedNLayerDiscriminator, NLayerDiscriminator)
+
+LOGGER = logging.getLogger(__name__)
+
+
+def make_generator(kind, **kwargs):
+    LOGGER.info(f'Make generator {kind}')
+    if kind == 'pix2pixhd_multidilated':
+        return MultiDilatedGlobalGenerator(**kwargs)
+    if kind == 'pix2pixhd_global':
+        return GlobalGenerator(**kwargs)
+    if kind == 'ffc_resnet':
+        return FFCResNetGenerator(**kwargs)
+    raise ValueError(f'Unknown generator kind {kind}')
+
+
+def make_discriminator(kind, **kwargs):
+    LOGGER.info(f'Make discriminator {kind}')
+    if kind == 'pix2pixhd_nlayer_multidilated':
+        return MultidilatedNLayerDiscriminator(**kwargs)
+    if kind == 'pix2pixhd_nlayer':
+        return NLayerDiscriminator(**kwargs)
+    if kind == 'ffc_nlayer':
+        return FFCNLayerDiscriminator(**kwargs)
+    raise ValueError(f'Unknown discriminator kind {kind}')

@@ -1,0 +1,58 @@
+"""Mesh construction and sharding rules — the TPU-native replacement for the
+reference's Lightning DDP plumbing (SURVEY §2.9, §5.8).
+
+Design: a 1-D ('data',) mesh for training (gradients psum over ICI implicitly
+via pjit), optionally 2-D ('data', 'space') for high-resolution inference where
+the H axis of activations is sharded (the "sequence-parallel analogue" for
+resolution scaling, SURVEY §5.7). Parameters are replicated; batches are
+sharded along 'data'. No NCCL-analogue code exists — XLA inserts collectives.
+"""
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(axes: Sequence[str] = ('data',), shape: Optional[Sequence[int]] = None,
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if shape is None:
+        shape = (n,) if len(axes) == 1 else (n // 1, 1)[:len(axes)]
+        if len(axes) == 2:
+            shape = (n, 1)
+    assert int(np.prod(shape)) == n, (shape, n)
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, axis_names=tuple(axes))
+
+
+def batch_sharding(mesh: Mesh, axis: str = 'data') -> NamedSharding:
+    """Shard the leading (batch) dimension over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicate_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def spatial_sharding(mesh: Mesh, data_axis: str = 'data', space_axis: str = 'space') -> NamedSharding:
+    """(B, H, W, C) with B over data and H over space — for >2k inference."""
+    return NamedSharding(mesh, P(data_axis, space_axis))
+
+
+def shard_train_step(step_fn, mesh: Mesh, state, batch_axis: str = 'data'):
+    """jit `step_fn(state, batch, rng)` with params replicated and the batch
+    sharded along `batch_axis`. Returns (jitted_fn, sharded_state)."""
+    repl = replicate_sharding(mesh)
+    bsh = batch_sharding(mesh, batch_axis)
+
+    state_sharding = jax.tree.map(lambda _: repl, state)
+    batch_sharding_tree = {'image': bsh, 'mask': bsh}
+
+    fn = jax.jit(step_fn,
+                 in_shardings=(state_sharding, batch_sharding_tree, repl),
+                 out_shardings=(state_sharding, None),
+                 donate_argnums=(0,))
+    sharded_state = jax.device_put(state, repl)
+    return fn, sharded_state

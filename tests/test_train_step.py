@@ -1,0 +1,96 @@
+"""End-to-end GAN train-step tests on tiny models (CPU): losses finite and
+moving, both players update, EMA gating, and the sharded multi-device path
+over the 8-device CPU mesh."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from lama_tpu.losses.adversarial import make_discrim_loss
+from lama_tpu.models.ffc import FFCResNetGenerator
+from lama_tpu.models.pix2pixhd import NLayerDiscriminator
+from lama_tpu.parallel.mesh import make_mesh, shard_train_step
+from lama_tpu.training.state import create_train_state, make_optimizer
+from lama_tpu.training.step import EMAConfig, InpaintingTrainStep, LossConfig
+
+TINY_GEN = dict(
+    input_nc=4, output_nc=3, ngf=8, n_downsampling=2, n_blocks=2,
+    add_out_act='sigmoid',
+    init_conv_kwargs=dict(ratio_gin=0, ratio_gout=0, enable_lfu=False),
+    downsample_conv_kwargs=dict(ratio_gin=0, ratio_gout=0, enable_lfu=False),
+    resnet_conv_kwargs=dict(ratio_gin=0.75, ratio_gout=0.75, enable_lfu=False),
+)
+
+
+def make_batch(rng, b=2, size=32):
+    img = rng.rand(b, size, size, 3).astype(np.float32)
+    mask = np.zeros((b, size, size, 1), np.float32)
+    mask[:, size // 4: size // 2, size // 4: size // 2] = 1.0
+    return {'image': jnp.asarray(img), 'mask': jnp.asarray(mask)}
+
+
+def build_step(ema=EMAConfig(enabled=True, start_step=2, period=1)):
+    gen = FFCResNetGenerator(**TINY_GEN)
+    disc = NLayerDiscriminator(input_nc=3, ndf=8, n_layers=2)
+    adv = make_discrim_loss('r1', weight=10, gp_coef=0.001,
+                            mask_as_fake_target=True, allow_scale_mask=True)
+    g_tx = make_optimizer('adam', lr=1e-3, clip_grad_norm=1.0)
+    d_tx = make_optimizer('adam', lr=1e-4, clip_grad_norm=1.0)
+    step = InpaintingTrainStep(gen, disc, adv, g_tx, d_tx,
+                               loss_config=LossConfig(resnet_pl_weight=0.0),
+                               ema=ema)
+    return gen, disc, g_tx, d_tx, step
+
+
+def test_train_step_runs_and_updates(rng):
+    gen, disc, g_tx, d_tx, step = build_step()
+    batch = make_batch(rng)
+    state = create_train_state(jax.random.PRNGKey(0), gen, disc, batch, g_tx, d_tx)
+
+    jit_step = jax.jit(step)
+    metrics_hist = []
+    for i in range(3):
+        state, metrics = jit_step(state, batch, jax.random.PRNGKey(i))
+        metrics_hist.append({k: float(v) for k, v in metrics.items()})
+
+    for m in metrics_hist:
+        for k, v in m.items():
+            assert np.isfinite(v), (k, v)
+    assert int(state.step) == 3
+    # G moved and D moved
+    assert metrics_hist[0]['gen_total'] != metrics_hist[-1]['gen_total']
+    assert metrics_hist[0]['gen_l1'] > 0
+
+
+def test_ema_gating(rng):
+    gen, disc, g_tx, d_tx, step = build_step(
+        ema=EMAConfig(enabled=True, start_step=2, period=1))
+    batch = make_batch(rng)
+    state = create_train_state(jax.random.PRNGKey(0), gen, disc, batch, g_tx, d_tx)
+    jit_step = jax.jit(step)
+
+    # steps 0,1: before start_step -> EMA frozen at init
+    state, _ = jit_step(state, batch, jax.random.PRNGKey(0))
+    ema_leaf_0 = np.asarray(jax.tree.leaves(state.ema_params)[0])
+    init_leaf = ema_leaf_0.copy()
+    state, _ = jit_step(state, batch, jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(jax.tree.leaves(state.ema_params)[0]), init_leaf)
+    # step 2: EMA starts moving
+    state, _ = jit_step(state, batch, jax.random.PRNGKey(2))
+    assert not np.array_equal(np.asarray(jax.tree.leaves(state.ema_params)[0]), init_leaf)
+
+
+def test_sharded_train_step_on_mesh(rng, cpu_mesh_devices):
+    """The dryrun_multichip core: data-parallel GAN step over an 8-device mesh."""
+    gen, disc, g_tx, d_tx, step = build_step()
+    batch = make_batch(rng, b=8, size=32)
+    state = create_train_state(jax.random.PRNGKey(0), gen, disc, batch, g_tx, d_tx)
+
+    mesh = make_mesh(('data',), devices=cpu_mesh_devices)
+    fn, sharded_state = shard_train_step(step, mesh, state)
+    from lama_tpu.parallel.mesh import batch_sharding
+    sharded_batch = jax.device_put(batch, batch_sharding(mesh))
+    new_state, metrics = fn(sharded_state, sharded_batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics['gen_total']))
+    assert np.isfinite(float(metrics['discr_total']))
+    assert int(new_state.step) == 1
