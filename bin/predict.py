@@ -1,0 +1,151 @@
+#!/usr/bin/env python3
+"""Inpainting inference CLI — the analogue of reference bin/predict.py.
+
+Usage:
+  python bin/predict.py model.path=<run_dir> indir=<images+masks> outdir=<out> \
+      [dataset.img_suffix=.png] [refine=true] [model.checkpoint=best]
+
+Model dir layout (produced by bin/train.py / bin/make_checkpoint.py):
+  <run_dir>/config.yaml            frozen train config
+  <run_dir>/models/<checkpoint>    orbax generator export (or full TrainState)
+Also accepts reference PyTorch deployment checkpoints (*.ckpt / *.pth) via the
+torch->flax converter.
+
+TPU-first behaviour vs the reference:
+- batched jitted forward; shapes are padded to `dataset.pad_out_to_modulo`
+  and additionally bucketed (pad_to_bucket) so XLA compiles a handful of
+  programs instead of one per image size;
+- runs on the default JAX device (TPU), bf16 conv path, fp32 spectral path.
+"""
+import logging
+import os
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+LOGGER = logging.getLogger(__name__)
+
+
+def ceil_to(x, mod):
+    return ((x + mod - 1) // mod) * mod
+
+
+def main(argv):
+    import jax
+    import jax.numpy as jnp
+
+    from lama_tpu.config import compose, load_yaml, parse_overrides
+    from lama_tpu.config.node import ConfigNode, merge, resolve_interpolations
+    from lama_tpu.data.datasets import make_default_val_dataset
+    from lama_tpu.data.io import save_image
+    from lama_tpu.models import make_generator
+    from lama_tpu.training.checkpoint import restore_pytree
+    from lama_tpu.training.convert import load_torch_checkpoint
+    from lama_tpu.utils import register_debug_signal_handlers
+
+    logging.basicConfig(level=logging.INFO)
+    register_debug_signal_handlers()
+
+    config_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                              'configs', 'prediction')
+    predict_config = compose(config_dir, 'default', argv)
+
+    # device: tpu (default platform) | cpu — useful for smoke runs without a chip
+    if str(predict_config.get('device', 'tpu')) == 'cpu':
+        jax.config.update('jax_platforms', 'cpu')
+
+    model_path = predict_config.model.path
+    if not isinstance(model_path, str) or model_path in ('', 'no'):
+        raise ValueError('model.path must be given (model.path=<run dir>)')
+    for key in ('indir', 'outdir'):
+        if not isinstance(predict_config.get(key), str):
+            raise ValueError(f'{key} must be given ({key}=<path>)')
+    train_config_path = os.path.join(model_path, 'config.yaml')
+    train_config = load_yaml(train_config_path)
+    resolve_interpolations(train_config)
+
+    gen_kwargs = dict(train_config.generator)
+    kind = gen_kwargs.pop('kind')
+    dtype = {'bf16': jnp.bfloat16, 'fp32': jnp.float32}[predict_config.get('precision', 'bf16')]
+    generator = make_generator(kind, dtype=dtype, **gen_kwargs)
+
+    # --- load weights: orbax dir or torch ckpt
+    ckpt = os.path.join(model_path, 'models', str(predict_config.model.checkpoint))
+    if not os.path.exists(ckpt) and os.path.isdir(os.path.splitext(ckpt)[0]):
+        ckpt = os.path.splitext(ckpt)[0]  # 'best.ckpt' config naming, orbax dir on disk
+    probe = jnp.zeros((1, 64, 64, gen_kwargs.get('input_nc', 4)))
+    template = generator.init(jax.random.PRNGKey(0), probe, train=False)
+    if os.path.isdir(ckpt):
+        variables = restore_pytree(ckpt, template)
+    elif ckpt.endswith(('.ckpt', '.pth', '.pt')):
+        variables = load_torch_checkpoint(ckpt, template, generator)
+    else:
+        raise FileNotFoundError(ckpt)
+
+    out_ext = predict_config.get('out_ext', '.png')
+    modulo = predict_config.dataset.pad_out_to_modulo
+    bucket = int(predict_config.get('pad_to_bucket', 64))
+
+    if not predict_config.indir.endswith('/'):
+        predict_config['indir'] = predict_config.indir + '/'
+    dataset = make_default_val_dataset(predict_config.indir, **dict(predict_config.dataset))
+
+    @jax.jit
+    def predict_fn(variables, image, mask):
+        masked = image * (1 - mask)
+        x = jnp.concatenate([masked, mask], axis=-1)
+        pred = generator.apply(variables, x, train=False)
+        return (mask * pred + (1 - mask) * image).astype(jnp.float32)
+
+    use_refine = bool(predict_config.get('refine', False))
+    if use_refine:
+        from lama_tpu.evaluation.refinement import refine_predict
+
+    for img_i in range(len(dataset)):
+        mask_fname = dataset.mask_filenames[img_i]
+        cur_out_fname = os.path.join(
+            predict_config.outdir,
+            os.path.splitext(mask_fname[len(predict_config.indir):])[0] + out_ext)
+        os.makedirs(os.path.dirname(cur_out_fname), exist_ok=True)
+
+        item = dataset[img_i]
+        image, mask = item['image'], item['mask']
+        orig_h, orig_w = (item['unpad_to_size'] if 'unpad_to_size' in item
+                          else image.shape[:2])
+
+        # bucket-pad so XLA reuses compiled programs across similar sizes
+        bh = ceil_to(max(image.shape[0], modulo), bucket)
+        bw = ceil_to(max(image.shape[1], modulo), bucket)
+        pad_h, pad_w = bh - image.shape[0], bw - image.shape[1]
+        if pad_h or pad_w:
+            image = np.pad(image, ((0, pad_h), (0, pad_w), (0, 0)), mode='symmetric')
+            mask = np.pad(mask, ((0, pad_h), (0, pad_w), (0, 0)), mode='symmetric')
+
+        batch_img = jnp.asarray(image[None])
+        batch_mask = jnp.asarray((mask[None] > 0).astype(np.float32))
+
+        if use_refine:
+            res = refine_predict(batch_img, batch_mask, generator, variables,
+                                 **dict(predict_config.refiner))
+            res = np.asarray(res[0])
+        else:
+            res = np.asarray(predict_fn(variables, batch_img, batch_mask)[0])
+
+        res = res[:orig_h, :orig_w]
+        save_image(cur_out_fname, res)
+
+    LOGGER.info(f'Predicted {len(dataset)} images to {predict_config.outdir}')
+
+
+if __name__ == '__main__':
+    try:
+        main(sys.argv[1:])
+    except KeyboardInterrupt:
+        LOGGER.warning('Interrupted by user')
+        sys.exit(1)
+    except Exception as ex:
+        LOGGER.critical(f'Prediction failed due to {ex}:\n{traceback.format_exc()}')
+        sys.exit(1)

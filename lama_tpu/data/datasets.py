@@ -1,0 +1,328 @@
+"""Datasets and loaders — host-side pipeline feeding the TPU.
+
+Mirrors the dataset surface of the reference
+(saicinpainting/training/data/datasets.py + saicinpainting/evaluation/data.py),
+NHWC, with torch's DataLoader replaced by a threaded prefetching batch loader
+(cv2 decode releases the GIL) that supports deterministic per-host sharding —
+fixing the reference's DDP-sampler no-op (SURVEY §2.2 quirk).
+"""
+import glob
+import logging
+import os
+import queue
+import threading
+from typing import Dict, List, Optional, Sequence
+
+import cv2
+import numpy as np
+
+from .io import ceil_modulo, load_image, pad_img_to_modulo, scale_image
+from .masks import get_mask_generator
+from .transforms import get_transforms
+
+LOGGER = logging.getLogger(__name__)
+
+
+# ------------------------------------------------------------------ datasets
+
+class InpaintingTrainDataset:
+    """glob **/*.jpg, decode RGB, augment, generate a mask per item with an
+    iteration counter for curricula (reference datasets.py:25-45)."""
+
+    def __init__(self, indir, mask_generator, transform, rng: Optional[np.random.RandomState] = None):
+        self.in_files = sorted(glob.glob(os.path.join(indir, '**', '*.jpg'), recursive=True))
+        self.mask_generator = mask_generator
+        self.transform = transform
+        self.iter_i = 0
+        self.rng = rng or np.random.RandomState()
+
+    def __len__(self):
+        return len(self.in_files)
+
+    def __getitem__(self, item) -> Dict[str, np.ndarray]:
+        img = cv2.imread(self.in_files[item])
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        img = self.transform(image=img, rng=self.rng)['image']  # HWC float
+        mask = self.mask_generator((img.shape[0], img.shape[1]),
+                                   iter_i=self.iter_i, rng=self.rng)
+        self.iter_i += 1
+        return dict(image=img.astype(np.float32), mask=mask.astype(np.float32))
+
+
+class InpaintingDataset:
+    """Fixed eval pairs: *mask*.png + <stem><img_suffix>
+    (reference evaluation/data.py:58-83), HWC."""
+
+    def __init__(self, datadir, img_suffix='.jpg', pad_out_to_modulo=None,
+                 scale_factor=None):
+        self.datadir = datadir
+        self.mask_filenames = sorted(glob.glob(os.path.join(datadir, '**', '*mask*.png'),
+                                               recursive=True))
+        self.img_filenames = [f.rsplit('_mask', 1)[0] + img_suffix
+                              for f in self.mask_filenames]
+        self.pad_out_to_modulo = pad_out_to_modulo
+        self.scale_factor = scale_factor
+
+    def __len__(self):
+        return len(self.mask_filenames)
+
+    def __getitem__(self, i) -> Dict[str, np.ndarray]:
+        image = load_image(self.img_filenames[i], mode='RGB')
+        mask = load_image(self.mask_filenames[i], mode='L')
+        result = dict(image=image, mask=mask)
+        if self.scale_factor is not None:
+            result['image'] = scale_image(result['image'], self.scale_factor)
+            result['mask'] = scale_image(result['mask'], self.scale_factor,
+                                         interpolation=cv2.INTER_NEAREST)
+        if self.pad_out_to_modulo is not None and self.pad_out_to_modulo > 1:
+            result['unpad_to_size'] = np.array(result['image'].shape[:2])
+            result['image'] = pad_img_to_modulo(result['image'], self.pad_out_to_modulo)
+            result['mask'] = pad_img_to_modulo(result['mask'], self.pad_out_to_modulo)
+        return result
+
+
+class OurInpaintingDataset:
+    """Alternative mask/ img/ directory layout (reference evaluation/data.py:85-108)."""
+
+    def __init__(self, datadir, img_suffix='.jpg', pad_out_to_modulo=None,
+                 scale_factor=None):
+        self.datadir = datadir
+        self.mask_filenames = sorted(glob.glob(os.path.join(datadir, 'mask', '**', '*mask*.png'),
+                                               recursive=True))
+        self.img_filenames = [
+            os.path.join(datadir, 'img',
+                         os.path.basename(f.rsplit('-', 1)[0].rsplit('_', 1)[0]) + '.png')
+            for f in self.mask_filenames]
+        self.pad_out_to_modulo = pad_out_to_modulo
+        self.scale_factor = scale_factor
+
+    def __len__(self):
+        return len(self.mask_filenames)
+
+    def __getitem__(self, i):
+        result = dict(image=load_image(self.img_filenames[i], mode='RGB'),
+                      mask=load_image(self.mask_filenames[i], mode='L'))
+        if self.scale_factor is not None:
+            result['image'] = scale_image(result['image'], self.scale_factor)
+            result['mask'] = scale_image(result['mask'], self.scale_factor)
+        if self.pad_out_to_modulo is not None and self.pad_out_to_modulo > 1:
+            result['image'] = pad_img_to_modulo(result['image'], self.pad_out_to_modulo)
+            result['mask'] = pad_img_to_modulo(result['mask'], self.pad_out_to_modulo)
+        return result
+
+
+class PrecomputedInpaintingResultsDataset(InpaintingDataset):
+    """(image, mask, inpainted) triples for offline evaluation
+    (reference evaluation/data.py:110-124)."""
+
+    def __init__(self, datadir, predictdir, inpainted_suffix='_inpainted.jpg', **kwargs):
+        super().__init__(datadir, **kwargs)
+        if not datadir.endswith('/'):
+            datadir += '/'
+        self.predictdir = predictdir
+        self.pred_filenames = [
+            os.path.join(predictdir, os.path.splitext(f[len(datadir):])[0] + inpainted_suffix)
+            for f in self.mask_filenames]
+
+    def __getitem__(self, i):
+        result = super().__getitem__(i)
+        result['inpainted'] = load_image(self.pred_filenames[i])
+        if self.pad_out_to_modulo is not None and self.pad_out_to_modulo > 1:
+            result['inpainted'] = pad_img_to_modulo(result['inpainted'],
+                                                    self.pad_out_to_modulo)
+        return result
+
+
+class InpaintingEvalOnlineDataset:
+    """Images + masks generated on load (reference evaluation/data.py:145-168)."""
+
+    def __init__(self, indir, mask_generator, img_suffix='.jpg',
+                 pad_out_to_modulo=None, scale_factor=None,
+                 rng: Optional[np.random.RandomState] = None, **kwargs):
+        self.indir = indir
+        self.mask_generator = mask_generator
+        self.img_filenames = sorted(glob.glob(os.path.join(indir, '**', f'*{img_suffix}'),
+                                              recursive=True))
+        self.pad_out_to_modulo = pad_out_to_modulo
+        self.scale_factor = scale_factor
+        self.rng = rng or np.random.RandomState()
+
+    def __len__(self):
+        return len(self.img_filenames)
+
+    def __getitem__(self, i):
+        img, raw_image = load_image(self.img_filenames[i], mode='RGB', return_orig=True)
+        mask = self.mask_generator((img.shape[0], img.shape[1]),
+                                   raw_image=raw_image, rng=self.rng)
+        result = dict(image=img, mask=mask.astype(np.float32))
+        if self.scale_factor is not None:
+            result['image'] = scale_image(result['image'], self.scale_factor)
+            result['mask'] = scale_image(result['mask'], self.scale_factor,
+                                         interpolation=cv2.INTER_NEAREST)
+        if self.pad_out_to_modulo is not None and self.pad_out_to_modulo > 1:
+            result['image'] = pad_img_to_modulo(result['image'], self.pad_out_to_modulo)
+            result['mask'] = pad_img_to_modulo(result['mask'], self.pad_out_to_modulo)
+        return result
+
+
+class ConcatDataset:
+    def __init__(self, datasets: Sequence):
+        self.datasets = list(datasets)
+        self.offsets = np.cumsum([len(d) for d in self.datasets])
+
+    def __len__(self):
+        return int(self.offsets[-1]) if len(self.datasets) else 0
+
+    def __getitem__(self, i):
+        ds_idx = int(np.searchsorted(self.offsets, i, side='right'))
+        prev = 0 if ds_idx == 0 else int(self.offsets[ds_idx - 1])
+        return self.datasets[ds_idx][i - prev]
+
+
+# -------------------------------------------------------------------- loader
+
+def collate(items: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    keys = items[0].keys()
+    return {k: np.stack([it[k] for it in items], axis=0) for k in keys}
+
+
+class BatchLoader:
+    """Threaded prefetching batch loader. Shards deterministically across
+    hosts (shard_id/num_shards) — the proper per-host input sharding the
+    reference's DDP path skipped (SURVEY §2.2)."""
+
+    def __init__(self, dataset, batch_size=1, shuffle=False, num_workers=3,
+                 drop_last=True, shard_id=0, num_shards=1, seed=0,
+                 prefetch=4, epoch=0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.seed = seed
+        self.prefetch = prefetch
+        self.epoch = epoch
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+
+    def _indices(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.RandomState(self.seed + self.epoch).shuffle(order)
+        order = order[self.shard_id::self.num_shards]
+        n_batches = len(order) // self.batch_size if self.drop_last \
+            else ceil_modulo(len(order), self.batch_size) // self.batch_size
+        return order, n_batches
+
+    def __len__(self):
+        _, n_batches = self._indices()
+        return n_batches
+
+    def __iter__(self):
+        order, n_batches = self._indices()
+        batches = [order[i * self.batch_size:(i + 1) * self.batch_size]
+                   for i in range(n_batches)]
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for batch_idx in batches:
+                    if stop.is_set():
+                        return
+                    q.put(collate([self.dataset[int(i)] for i in batch_idx]))
+            except Exception as e:  # surface worker errors to the consumer
+                q.put(e)
+            finally:
+                q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
+# ------------------------------------------------------------------ factories
+
+def make_default_train_dataloader(indir, kind='default', out_size=512,
+                                  mask_gen_kwargs=None, transform_variant='default',
+                                  mask_generator_kind='mixed',
+                                  dataloader_kwargs=None, ddp_kwargs=None, **kwargs):
+    """reference datasets.py:206-246."""
+    LOGGER.info(f'Make train dataloader {kind} from {indir} '
+                f'(mask generator={mask_generator_kind})')
+    mask_generator = get_mask_generator(kind=mask_generator_kind,
+                                        kwargs=dict(mask_gen_kwargs or {}))
+    transform = get_transforms(transform_variant, out_size)
+    if kind == 'default':
+        dataset = InpaintingTrainDataset(indir=indir, mask_generator=mask_generator,
+                                         transform=transform, **kwargs)
+    else:
+        raise ValueError(f'Unknown train dataset kind {kind}')
+
+    dl_kwargs = dict(dataloader_kwargs or {})
+    if ddp_kwargs is not None:
+        dl_kwargs['shard_id'] = ddp_kwargs.get('rank', 0)
+        dl_kwargs['num_shards'] = ddp_kwargs.get('num_replicas', 1)
+    dl_kwargs.setdefault('drop_last', True)
+    return BatchLoader(dataset, **dl_kwargs)
+
+
+def make_default_val_dataset(indir, kind='default', out_size=512,
+                             transform_variant=None, **kwargs):
+    """reference datasets.py:249-289."""
+    if isinstance(indir, (tuple, list)):
+        return ConcatDataset([
+            make_default_val_dataset(idir, kind=kind, out_size=out_size,
+                                     transform_variant=transform_variant, **kwargs)
+            for idir in indir])
+    LOGGER.info(f'Make val dataset {kind} from {indir}')
+    if kind == 'default':
+        kwargs.pop('mask_generator_kind', None)
+        kwargs.pop('mask_gen_kwargs', None)
+        return InpaintingDataset(indir, **kwargs)
+    if kind == 'our_eval':
+        return OurInpaintingDataset(indir, **kwargs)
+    if kind == 'online':
+        mask_generator = get_mask_generator(kind=kwargs.pop('mask_generator_kind', None),
+                                            kwargs=kwargs.pop('mask_gen_kwargs', None))
+        return InpaintingEvalOnlineDataset(indir=indir, mask_generator=mask_generator,
+                                           **kwargs)
+    raise ValueError(f'Unknown val dataset kind {kind}')
+
+
+def make_default_val_dataloader(*args, dataloader_kwargs=None, **kwargs):
+    dataset = make_default_val_dataset(*args, **kwargs)
+    dl_kwargs = dict(dataloader_kwargs or {})
+    dl_kwargs.setdefault('drop_last', False)
+    return BatchLoader(dataset, **dl_kwargs)
+
+
+def make_constant_area_crop_params(img_height, img_width, min_size=128,
+                                   max_size=512, area=256 * 256, round_to_mod=16,
+                                   rng=None):
+    """Random crop with ~constant pixel area (reference datasets.py:292-304)."""
+    r = rng or np.random
+    min_size = min(img_height, img_width, min_size)
+    max_size = min(img_height, img_width, max_size)
+    if r.random() < 0.5:
+        out_height = min(max_size, ceil_modulo(r.randint(min_size, max_size), round_to_mod))
+        out_width = min(max_size, ceil_modulo(area // out_height, round_to_mod))
+    else:
+        out_width = min(max_size, ceil_modulo(r.randint(min_size, max_size), round_to_mod))
+        out_height = min(max_size, ceil_modulo(area // out_width, round_to_mod))
+    start_y = r.randint(0, img_height - out_height + 1)
+    start_x = r.randint(0, img_width - out_width + 1)
+    return (start_y, start_x, out_height, out_width)

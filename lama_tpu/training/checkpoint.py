@@ -1,0 +1,107 @@
+"""Checkpoint save/restore (orbax) + deployment export.
+
+Replaces Lightning's ModelCheckpoint + bin/make_checkpoint.py (SURVEY §5.4):
+- full TrainState pytrees saved per validation epoch, top-k by monitor metric
+  + last (reference trainer checkpoint_kwargs);
+- `export_generator` strips everything but generator params/stats (the
+  analogue of make_checkpoint.py dropping optimizer/discriminator/loss keys)
+  and can average several epochs tensor-wise;
+- torch interop lives in convert.py (load reference .ckpt's directly).
+"""
+import json
+import os
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def save_pytree(path: str, tree: Any):
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, tree, force=True)
+
+
+def restore_pytree(path: str, template: Optional[Any] = None):
+    """Restore as host numpy arrays (placement-agnostic: a checkpoint written
+    on CPU restores on TPU and vice versa; jit/device_put moves them later)."""
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    if template is not None:
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), template)
+        restored = ckptr.restore(path, item=template, restore_args=restore_args)
+        return restored
+    return ckptr.restore(path, restore_args=None)
+
+
+class CheckpointManager:
+    """top-k + last checkpoint policy keyed on a monitor metric
+    (reference: ModelCheckpoint(save_top_k=5, save_last=True,
+    monitor='val_ssim_fid100_f1_total_mean', mode='max'))."""
+
+    def __init__(self, directory: str, monitor: str = 'val_ssim_fid100_f1_total_mean',
+                 mode: str = 'max', save_top_k: int = 5, save_last: bool = True):
+        self.directory = directory
+        self.monitor = monitor
+        self.mode = mode
+        self.save_top_k = save_top_k
+        self.save_last = save_last
+        self.records: List[Dict] = []
+        os.makedirs(directory, exist_ok=True)
+        self._index_path = os.path.join(directory, 'index.json')
+        if os.path.exists(self._index_path):
+            with open(self._index_path) as f:
+                self.records = json.load(f)
+
+    def _better(self, a, b):
+        return a > b if self.mode == 'max' else a < b
+
+    def save(self, state, epoch: int, metrics: Dict[str, float]):
+        value = float(metrics.get(self.monitor, float('-inf') if self.mode == 'max' else float('inf')))
+        name = f'epoch{epoch}'
+        path = os.path.join(self.directory, name)
+        save_pytree(path, state)
+        self.records.append({'name': name, 'epoch': epoch, 'value': value})
+        # prune beyond top-k
+        ranked = sorted(self.records, key=lambda r: r['value'],
+                        reverse=(self.mode == 'max'))
+        for r in ranked[self.save_top_k:]:
+            stale = os.path.join(self.directory, r['name'])
+            if os.path.exists(stale):
+                import shutil
+                shutil.rmtree(stale, ignore_errors=True)
+            self.records.remove(r)
+        if self.save_last:
+            save_pytree(os.path.join(self.directory, 'last'), state)
+        with open(self._index_path, 'w') as f:
+            json.dump(self.records, f)
+
+    def best_path(self) -> Optional[str]:
+        if not self.records:
+            return None
+        best = sorted(self.records, key=lambda r: r['value'],
+                      reverse=(self.mode == 'max'))[0]
+        return os.path.join(self.directory, best['name'])
+
+    def last_path(self) -> Optional[str]:
+        p = os.path.join(self.directory, 'last')
+        return p if os.path.exists(p) else None
+
+
+def export_generator(states: List[Any], out_path: str, use_ema: bool = True):
+    """Deployment export: generator-only variables, optionally tensor-averaged
+    over several checkpoints (reference make_checkpoint.py:26-52)."""
+    def gen_vars(state):
+        params = state.ema_params if (use_ema and state.ema_params is not None) else state.g_params
+        return {'params': params, 'batch_stats': state.g_stats}
+
+    trees = [gen_vars(s) for s in states]
+    if len(trees) == 1:
+        merged = trees[0]
+    else:
+        merged = jax.tree.map(lambda *xs: np.mean(np.stack([np.asarray(x) for x in xs]), axis=0),
+                              *trees)
+    save_pytree(out_path, merged)
+    return merged

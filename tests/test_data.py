@@ -1,0 +1,165 @@
+"""Mask synthesis + transforms + dataset/loader tests (host-side, no device)."""
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from lama_tpu.data.datasets import (BatchLoader, InpaintingDataset,
+                                    InpaintingTrainDataset,
+                                    make_constant_area_crop_params,
+                                    make_default_train_dataloader)
+from lama_tpu.data.io import ceil_modulo, load_image, pad_img_to_modulo, save_image
+from lama_tpu.data.masks import (DumbAreaMaskGenerator, MixedMaskGenerator,
+                                 OutpaintingMaskGenerator,
+                                 make_random_irregular_mask,
+                                 make_random_rectangle_mask,
+                                 make_random_superres_mask)
+from lama_tpu.data.transforms import get_transforms
+
+
+def test_irregular_mask_properties(rng):
+    m = make_random_irregular_mask((128, 128), max_len=60, max_width=20,
+                                   min_times=1, max_times=5, rng=rng)
+    assert m.shape == (128, 128, 1)
+    assert m.dtype == np.float32
+    assert set(np.unique(m)) <= {0.0, 1.0}
+    assert m.sum() > 0
+
+
+def test_rectangle_mask_margin(rng):
+    m = make_random_rectangle_mask((100, 100), margin=10, bbox_min_size=20,
+                                   bbox_max_size=40, min_times=1, max_times=1, rng=rng)
+    assert m[:10].sum() == 0 and m[-10:].sum() == 0
+    assert m[:, :10].sum() == 0 and m[:, -10:].sum() == 0
+    assert m.sum() > 0
+
+
+def test_superres_mask_periodic(rng):
+    m = make_random_superres_mask((64, 64), rng=rng)
+    assert m.sum() > 0
+
+
+def test_dumb_mask_eval_centered():
+    gen = DumbAreaMaskGenerator(is_training=False)
+    m = gen((64, 64))
+    # centred square of ~default_ratio area
+    ratio = m.sum() / (64 * 64)
+    assert 0.15 < ratio < 0.3
+    assert m[0, 0, 0] == 0 and m[32, 32, 0] == 1
+
+
+def test_outpainting_mask_touches_border(rng):
+    gen = OutpaintingMaskGenerator()
+    m = gen((64, 64), rng=rng)
+    border = np.concatenate([m[0].ravel(), m[-1].ravel(), m[:, 0].ravel(), m[:, -1].ravel()])
+    assert border.sum() > 0
+
+
+def test_outpainting_fixed_randomness(rng):
+    gen = OutpaintingMaskGenerator(is_fixed_randomness=True)
+    raw = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    m1 = gen((64, 64), raw_image=raw)
+    m2 = gen((64, 64), raw_image=raw)
+    np.testing.assert_array_equal(m1, m2)
+
+
+def test_mixed_generator_train_default(rng):
+    gen = MixedMaskGenerator(
+        irregular_proba=1,
+        irregular_kwargs=dict(max_angle=4, max_len=200, max_width=100,
+                              max_times=5, min_times=1),
+        box_proba=1,
+        box_kwargs=dict(margin=10, bbox_min_size=30, bbox_max_size=150,
+                        max_times=4, min_times=1),
+        segm_proba=0)
+    for i in range(5):
+        m = gen((256, 256), iter_i=i, rng=rng)
+        assert m.shape == (256, 256, 1)
+        assert 0 < m.mean() < 1
+
+
+@pytest.mark.parametrize('variant', ['default', 'distortions', 'distortions_light',
+                                     'non_space_transform', 'no_augs'])
+def test_transforms_variants(rng, variant):
+    img = (rng.rand(300, 280, 3) * 255).astype(np.uint8)
+    t = get_transforms(variant, 256)
+    out = t(image=img, rng=rng)['image']
+    assert out.dtype == np.float32
+    assert out.min() >= 0 and out.max() <= 1
+    if variant not in ('non_space_transform', 'no_augs'):
+        assert out.shape == (256, 256, 3)
+
+
+def test_io_roundtrip_and_pad(tmp_path, rng):
+    img = rng.rand(30, 41, 3).astype(np.float32)
+    fname = str(tmp_path / 'x.png')
+    save_image(fname, img)
+    loaded = load_image(fname)
+    assert loaded.shape == (30, 41, 3)
+    np.testing.assert_allclose(loaded, img, atol=1 / 255 + 1e-6)
+
+    padded = pad_img_to_modulo(loaded, 8)
+    assert padded.shape == (32, 48, 3)
+    np.testing.assert_array_equal(padded[:30, :41], loaded)
+
+
+def test_train_dataset_and_loader(tmp_path, rng):
+    for i in range(6):
+        img = (rng.rand(300, 300, 3) * 255).astype(np.uint8)
+        cv2.imwrite(str(tmp_path / f'img{i}.jpg'), img)
+    loader = make_default_train_dataloader(
+        str(tmp_path), out_size=128,
+        mask_gen_kwargs=dict(irregular_proba=1,
+                             irregular_kwargs=dict(max_len=50, max_width=20,
+                                                   max_times=3, min_times=1),
+                             box_proba=1,
+                             box_kwargs=dict(margin=10, bbox_min_size=20,
+                                             bbox_max_size=50, max_times=2, min_times=1),
+                             segm_proba=0),
+        transform_variant='default',
+        dataloader_kwargs=dict(batch_size=2, shuffle=True, num_workers=2))
+    batches = list(loader)
+    assert len(batches) == 3
+    b = batches[0]
+    assert b['image'].shape == (2, 128, 128, 3)
+    assert b['mask'].shape == (2, 128, 128, 1)
+
+
+def test_loader_sharding(tmp_path, rng):
+    for i in range(8):
+        cv2.imwrite(str(tmp_path / f'i{i}.jpg'), (rng.rand(64, 64, 3) * 255).astype(np.uint8))
+    ds = list(range(8))
+
+    class Identity:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            return {'x': np.array([i])}
+
+    l0 = BatchLoader(Identity(), batch_size=2, shard_id=0, num_shards=2, shuffle=False)
+    l1 = BatchLoader(Identity(), batch_size=2, shard_id=1, num_shards=2, shuffle=False)
+    seen0 = np.concatenate([b['x'].ravel() for b in l0])
+    seen1 = np.concatenate([b['x'].ravel() for b in l1])
+    assert set(seen0) & set(seen1) == set()
+    assert set(seen0) | set(seen1) == set(range(8))
+
+
+def test_constant_area_crop(rng):
+    for _ in range(10):
+        y, x, h, w = make_constant_area_crop_params(256, 256, rng=rng)
+        assert 0 <= y <= 256 - h and 0 <= x <= 256 - w
+        assert h % 16 == 0 and w % 16 == 0
+
+
+def test_eval_dataset_pairs(tmp_path, rng):
+    img = rng.rand(50, 60, 3).astype(np.float32)
+    mask = (rng.rand(50, 60, 1) > 0.5).astype(np.float32)
+    save_image(str(tmp_path / 'scene1.png'), img)
+    save_image(str(tmp_path / 'scene1_mask000.png'), mask)
+    ds = InpaintingDataset(str(tmp_path), img_suffix='.png', pad_out_to_modulo=8)
+    assert len(ds) == 1
+    item = ds[0]
+    assert item['image'].shape == (56, 64, 3)
+    assert tuple(item['unpad_to_size']) == (50, 60)
