@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Offline metric evaluation over precomputed predictions — analogue of
+reference bin/evaluate_predicts.py.
+
+Usage:
+  python bin/evaluate_predicts.py <config.yaml> <datadir> <predictdir> <outpath.csv>
+         [--device cpu]
+
+config: e.g. configs/eval2.yaml (evaluator_kwargs + dataset_kwargs).
+Outputs a tab-separated table keyed by metric × mask-area bin.
+"""
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+LOGGER = logging.getLogger(__name__)
+
+
+def main(args):
+    import jax
+    if args.device == 'cpu':
+        jax.config.update('jax_platforms', 'cpu')
+
+    import pandas as pd
+    import yaml
+
+    from lama_tpu.data.datasets import PrecomputedInpaintingResultsDataset
+    from lama_tpu.evaluation.evaluator import (InpaintingEvaluator,
+                                               lpips_fid100_f1)
+    from lama_tpu.evaluation.scores import FIDScore, LPIPSScore, SSIMScore
+
+    logging.basicConfig(level=logging.INFO)
+    with open(args.config) as f:
+        config = yaml.safe_load(f)
+
+    dataset = PrecomputedInpaintingResultsDataset(
+        args.datadir, args.predictdir, **config.get('dataset_kwargs', {}))
+
+    ctors = {'ssim': SSIMScore, 'lpips': LPIPSScore, 'fid': FIDScore}
+    enabled = args.metrics.split(',') if args.metrics else list(ctors)
+    metrics = {k: ctors[k]() for k in enabled}
+
+    ev_kwargs = dict(config.get('evaluator_kwargs', {}))
+    ev_kwargs.pop('device', None)
+    ev_kwargs.pop('segmentation', None)
+    has_integral = 'lpips' in metrics and 'fid' in metrics
+    evaluator = InpaintingEvaluator(
+        dataset, scores=metrics,
+        integral_title='lpips_fid100_f1' if has_integral else None,
+        integral_func=lpips_fid100_f1 if has_integral else None,
+        **ev_kwargs)
+    results = evaluator.evaluate()
+
+    results = pd.DataFrame(results).stack(future_stack=True).unstack(level=0)
+    results.dropna(axis=1, how='all', inplace=True)
+    results.to_csv(args.outpath, sep='\t', float_format='%.4f')
+    print(results)
+
+
+if __name__ == '__main__':
+    parser = argparse.ArgumentParser()
+    parser.add_argument('config', help='eval config, e.g. configs/eval2.yaml')
+    parser.add_argument('datadir', help='dir with images and masks')
+    parser.add_argument('predictdir', help='dir with predictions')
+    parser.add_argument('outpath', help='output table path (.tsv/.csv)')
+    parser.add_argument('--metrics', default=None,
+                        help='comma list: ssim,lpips,fid (default all)')
+    parser.add_argument('--device', default=None, choices=[None, 'cpu', 'tpu'])
+    main(parser.parse_args())
