@@ -42,7 +42,7 @@ def main(argv):
     from lama_tpu.data.datasets import make_default_val_dataset
     from lama_tpu.data.io import save_image
     from lama_tpu.models import make_generator
-    from lama_tpu.training.checkpoint import restore_pytree
+    from lama_tpu.training.checkpoint import load_generator_variables
     from lama_tpu.training.convert import load_torch_checkpoint
     from lama_tpu.utils import register_debug_signal_handlers
 
@@ -79,7 +79,7 @@ def main(argv):
     probe = jnp.zeros((1, 64, 64, gen_kwargs.get('input_nc', 4)))
     template = generator.init(jax.random.PRNGKey(0), probe, train=False)
     if os.path.isdir(ckpt):
-        variables = restore_pytree(ckpt, template)
+        variables = load_generator_variables(ckpt, template)
     elif ckpt.endswith(('.ckpt', '.pth', '.pt')):
         variables = load_torch_checkpoint(ckpt, template, generator)
     else:

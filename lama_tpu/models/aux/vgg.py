@@ -62,10 +62,14 @@ class VGGFeatures(nn.Module):
         return taps
 
 
-IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406])
-IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225])
+# plain tuples, NOT device arrays: a module-level jnp constant would
+# initialise the jax backend at import time (pinning the platform too early)
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
 def imagenet_normalize(x):
     """[0,1] RGB NHWC -> ImageNet-normalised (reference perceptual.py:10-11)."""
-    return (x - IMAGENET_MEAN.astype(x.dtype)) / IMAGENET_STD.astype(x.dtype)
+    mean = jnp.asarray(IMAGENET_MEAN, dtype=x.dtype)
+    std = jnp.asarray(IMAGENET_STD, dtype=x.dtype)
+    return (x - mean) / std

@@ -90,6 +90,27 @@ class CheckpointManager:
         return p if os.path.exists(p) else None
 
 
+def load_generator_variables(path: str, template: Dict, use_ema: bool = True) -> Dict:
+    """Load generator {'params','batch_stats'} from either a deployment export
+    (generator-only) or a full TrainState checkpoint (bin/train.py output)."""
+    raw = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+    if 'params' in raw:
+        src = {'params': raw['params'], 'batch_stats': raw.get('batch_stats', {})}
+    elif 'g_params' in raw:
+        params = raw.get('ema_params') if (use_ema and raw.get('ema_params') is not None) \
+            else raw['g_params']
+        src = {'params': params, 'batch_stats': raw.get('g_stats', {})}
+    else:
+        raise ValueError(f'Unrecognised checkpoint layout at {path}: {list(raw)}')
+
+    def align(t, s):
+        s = np.asarray(s)
+        assert s.shape == tuple(np.asarray(t).shape), (s.shape, np.asarray(t).shape)
+        return s.astype(np.asarray(t).dtype)
+
+    return jax.tree.map(align, template, src)
+
+
 def export_generator(states: List[Any], out_path: str, use_ema: bool = True):
     """Deployment export: generator-only variables, optionally tensor-averaged
     over several checkpoints (reference make_checkpoint.py:26-52)."""
