@@ -129,8 +129,10 @@ def main(argv):
 
         if use_refine:
             res = refine_predict(batch_img, batch_mask, generator, variables,
+                                 unpad_to_size=(int(orig_h), int(orig_w)),
                                  **dict(predict_config.refiner))
             res = np.asarray(res[0])
+            orig_h, orig_w = res.shape[:2]  # refiner may rescale under px_budget
         else:
             res = np.asarray(predict_fn(variables, batch_img, batch_mask)[0])
 

@@ -1,0 +1,197 @@
+"""Multiscale feature refinement for high-resolution inpainting — the
+TPU-native version of the Geomagical refiner (reference
+evaluation/refinement.py, PR #112).
+
+Semantics preserved:
+- gaussian image/mask pyramid (≤ max_scales, px_budget cap, min_side floor,
+  refinement.py:176-226);
+- per scale: front features z = front(masked_input) become the optimisation
+  variables; Adam(lr) for n_iters-1 updates on a multiscale L1 — known-region
+  L1 vs the input + hole-region L1 of the downscaled prediction vs the
+  previous-scale result with an ellipse-eroded mask (refinement.py:75-174);
+- final composite mask*pred + (1-mask)*image.
+
+TPU-first differences:
+- no GPU pipeline split: the rear pass runs as one XLA program; the entire
+  n_iters Adam loop per scale is a single jitted `lax.fori_loop` (optax),
+  re-jitted only per pyramid scale shape;
+- boolean-index means become mask-weighted means (identical values).
+"""
+import logging
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..ops.blur import gaussian_blur2d
+from ..ops.pad import pad2d
+from ..ops.resize import interpolate
+
+LOGGER = logging.getLogger(__name__)
+
+
+def _ceil_modulo(x, mod):
+    return x if x % mod == 0 else (x // mod + 1) * mod
+
+
+def pad_tensor_to_modulo(img, mod):
+    """NHWC reflect pad bottom/right (reference evaluation/data.py:36-40)."""
+    _, h, w, _ = img.shape
+    return pad2d(img, ((0, _ceil_modulo(h, mod) - h), (0, _ceil_modulo(w, mod) - w)),
+                 mode='reflect')
+
+
+def _pyrdown(im, downsize=None):
+    """gaussian 5×5 sigma 1 blur + bilinear half (refinement.py:20-27)."""
+    if downsize is None:
+        downsize = (im.shape[1] // 2, im.shape[2] // 2)
+    im = gaussian_blur2d(im, 5, 1.0)
+    return interpolate(im, size=downsize, mode='bilinear', align_corners=False)
+
+
+def _pyrdown_mask(mask, downsize=None, eps=1e-8, blur_mask=True, round_up=True):
+    if downsize is None:
+        downsize = (mask.shape[1] // 2, mask.shape[2] // 2)
+    if blur_mask:
+        mask = gaussian_blur2d(mask, 5, 1.0)
+    mask = interpolate(mask, size=downsize, mode='bilinear', align_corners=False)
+    if round_up:
+        return (mask >= eps).astype(mask.dtype)
+    return (mask >= 1.0 - eps).astype(mask.dtype)
+
+
+def _ellipse_kernel(size=15):
+    return cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (size, size)).astype(np.float32)
+
+
+def _erode_mask(mask, ekernel):
+    """Binary erosion with a flat structuring element via conv+threshold
+    (== kornia erosion + binarise, refinement.py:67-73)."""
+    k = ekernel.shape[0]
+    p = k // 2
+    kern = jnp.asarray(ekernel)[:, :, None, None]
+    padded = pad2d(mask, p, mode='zeros')
+    hits = jax.lax.conv_general_dilated(padded, kern, (1, 1), 'VALID',
+                                        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    return (hits >= jnp.sum(kern) - 1e-3).astype(mask.dtype)
+
+
+def _scale_loss(pred, image, mask3, ref, orig_shape, ekernel):
+    """Multiscale L1 (refinement.py:76-84,158-163): known-region L1 on the
+    full-res prediction + hole-region L1 between the downscaled prediction and
+    the previous-scale reference."""
+    known = (mask3 < 1e-8).astype(pred.dtype)
+    loss = jnp.sum(jnp.abs(pred - image) * known) / jnp.maximum(jnp.sum(known), 1e-8)
+
+    pred_crop = pred[:, :orig_shape[0], :orig_shape[1]]
+    mask_crop = mask3[:, :orig_shape[0], :orig_shape[1], :1]
+    pred_down = _pyrdown(pred_crop)
+    mask_down = _pyrdown_mask(mask_crop, blur_mask=False, round_up=False)
+    mask_down = _erode_mask(mask_down, ekernel)
+    hole = jnp.repeat(mask_down >= 1e-8, 3, axis=-1).astype(pred.dtype)
+    loss = loss + jnp.sum(jnp.abs(pred_down - ref) * hole) / jnp.maximum(jnp.sum(hole), 1e-8)
+    return loss
+
+
+def _refine_scale(generator, variables, image, mask, ref_lower_res, orig_shape,
+                  n_iters, lr, ekernel):
+    """One pyramid scale: optimise front features against the lower-res
+    reference. Entirely jitted by the caller."""
+    masked_image = jnp.concatenate([image * (1 - mask), mask], axis=-1)
+    z_init = generator.apply(variables, masked_image, train=False, stage='front')
+    z_init = jax.tree.map(jax.lax.stop_gradient, z_init)
+    mask3 = jnp.repeat(mask, 3, axis=-1)
+
+    def rear(z):
+        return generator.apply(variables, z, train=False, stage='rear')
+
+    if ref_lower_res is None:
+        pred = rear(z_init)
+        return mask3 * pred + (1 - mask3) * image
+
+    ref = jax.lax.stop_gradient(ref_lower_res)
+    tx = optax.adam(lr)
+
+    def loss_fn(z):
+        pred = rear(z)
+        return _scale_loss(pred.astype(jnp.float32), image, mask3, ref,
+                           orig_shape, ekernel)
+
+    def body(_, carry):
+        z, opt_state = carry
+        _, grads = jax.value_and_grad(loss_fn)(z)
+        updates, opt_state = tx.update(grads, opt_state, z)
+        return optax.apply_updates(z, updates), opt_state
+
+    z, _ = jax.lax.fori_loop(0, n_iters - 1, body, (z_init, tx.init(z_init)))
+    pred = rear(z).astype(jnp.float32)
+    return mask3 * pred + (1 - mask3) * image
+
+
+def _get_image_mask_pyramid(image, mask, unpad_to_size, min_side, max_scales,
+                            px_budget):
+    """refinement.py:176-226. image/mask: NHWC jnp arrays (batch 1)."""
+    assert image.shape[0] == 1, 'refiner works on batches of size 1'
+    h, w = unpad_to_size if unpad_to_size is not None else image.shape[1:3]
+    h, w = int(h), int(w)
+    image = image[:, :h, :w]
+    mask = mask[:, :h, :w]
+    if h * w > px_budget:
+        ratio = math.sqrt(px_budget / float(h * w))
+        h_orig, w_orig = h, w
+        h, w = int(h * ratio), int(w * ratio)
+        LOGGER.info(f'Image too large for refinement: resizing {(h_orig, w_orig)} '
+                    f'to {(h, w)}')
+        image = interpolate(image, size=(h, w), mode='bilinear', align_corners=False)
+        mask = interpolate(mask, size=(h, w), mode='bilinear', align_corners=False)
+        mask = (mask > 1e-8).astype(mask.dtype)
+    breadth = min(h, w)
+    n_scales = min(1 + int(round(max(0, math.log2(breadth / min_side)))), max_scales)
+    images, masks = [image], [mask]
+    for _ in range(n_scales - 1):
+        images.append(_pyrdown(images[-1]))
+        masks.append(_pyrdown_mask(masks[-1]))
+    return images[::-1], masks[::-1]
+
+
+def refine_predict(image, mask, generator, variables, modulo=8, n_iters=15,
+                   lr=0.002, min_side=512, max_scales=3, px_budget=1800000,
+                   unpad_to_size=None, gpu_ids=None):
+    """Entry point (reference refine_predict, refinement.py:228-314).
+    image: (1,H,W,3), mask: (1,H,W,1), NHWC [0,1]. Returns (1,H',W',3).
+    `gpu_ids` accepted for CLI compat and ignored (no pipeline split on TPU).
+    """
+    del gpu_ids
+    ekernel = _ellipse_kernel(15)
+    images, masks = _get_image_mask_pyramid(
+        jnp.asarray(image), jnp.asarray(mask), unpad_to_size,
+        min_side, max_scales, int(px_budget))
+
+    refine_jit = jax.jit(partial(_refine_scale, generator),
+                         static_argnames=('orig_shape', 'n_iters', 'lr'))
+    refine_first = jax.jit(
+        lambda variables, image, mask: _refine_scale(
+            generator, variables, image, mask, None, None, 0, 0.0, None))
+
+    image_inpainted = None
+    for scale_i, (cur_image, cur_mask) in enumerate(zip(images, masks)):
+        orig_shape = tuple(int(s) for s in cur_image.shape[1:3])
+        cur_image = pad_tensor_to_modulo(cur_image, modulo)
+        cur_mask = pad_tensor_to_modulo(cur_mask, modulo)
+        cur_mask = (cur_mask >= 1e-8).astype(cur_image.dtype)
+        if image_inpainted is None:
+            image_inpainted = refine_first(variables, cur_image, cur_mask)
+        else:
+            image_inpainted = refine_jit(variables, cur_image, cur_mask,
+                                         image_inpainted, orig_shape=orig_shape,
+                                         n_iters=int(n_iters), lr=float(lr),
+                                         ekernel=ekernel)
+        image_inpainted = image_inpainted[:, :orig_shape[0], :orig_shape[1]]
+        LOGGER.info(f'refined scale {scale_i + 1}/{len(images)} '
+                    f'({orig_shape[0]}x{orig_shape[1]})')
+    return image_inpainted

@@ -396,37 +396,48 @@ class FFCResNetGenerator(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, stage: str = 'full'):
+        """stage: 'full' | 'front' (pad+init+downsamples -> stream tuple) |
+        'rear' (stream tuple -> image). The front/rear split point is the
+        first resnet block — the same split the reference refiner uses
+        (evaluation/refinement.py:267-289); parameter names are identical
+        across stages, so one `init`/checkpoint serves all three."""
+        assert stage in ('full', 'front', 'rear'), stage
         init_kw = dict(self.init_conv_kwargs or {})
         down_kw = dict(self.downsample_conv_kwargs or {})
         resnet_kw = dict(self.resnet_conv_kwargs or {})
         common = dict(bn_axis_name=self.bn_axis_name, dtype=self.dtype)
 
-        # --- index 0: ReflectionPad(3); index 1: 7×7 init FFC_BN_ACT
-        x = reflection_pad2d(x, 3)
-        x = FFC_BN_ACT(self.input_nc, self.ngf, kernel_size=7, padding=0,
-                       ratio_gin=init_kw.get('ratio_gin', 0),
-                       ratio_gout=init_kw.get('ratio_gout', 0),
-                       enable_lfu=init_kw.get('enable_lfu', True),
-                       activation=self.activation, name='model_1', **common)(x, train=train)
-
-        # --- downsampling: indices 2 .. 1+n_downsampling
         idx = 2
-        for i in range(self.n_downsampling):
-            mult = 2 ** i
-            ratio_gin = down_kw.get('ratio_gin', 0)
-            if i == self.n_downsampling - 1:
-                ratio_gout = resnet_kw.get('ratio_gin', 0)
-            else:
-                ratio_gout = down_kw.get('ratio_gout', 0)
-            x = FFC_BN_ACT(min(self.max_features, self.ngf * mult),
-                           min(self.max_features, self.ngf * mult * 2),
-                           kernel_size=3, stride=2, padding=1,
-                           ratio_gin=ratio_gin, ratio_gout=ratio_gout,
-                           enable_lfu=down_kw.get('enable_lfu', True),
-                           activation=self.activation,
-                           name=f'model_{idx}', **common)(x, train=train)
-            idx += 1
+        if stage in ('full', 'front'):
+            # --- index 0: ReflectionPad(3); index 1: 7×7 init FFC_BN_ACT
+            x = reflection_pad2d(x, 3)
+            x = FFC_BN_ACT(self.input_nc, self.ngf, kernel_size=7, padding=0,
+                           ratio_gin=init_kw.get('ratio_gin', 0),
+                           ratio_gout=init_kw.get('ratio_gout', 0),
+                           enable_lfu=init_kw.get('enable_lfu', True),
+                           activation=self.activation, name='model_1', **common)(x, train=train)
+
+            # --- downsampling: indices 2 .. 1+n_downsampling
+            for i in range(self.n_downsampling):
+                mult = 2 ** i
+                ratio_gin = down_kw.get('ratio_gin', 0)
+                if i == self.n_downsampling - 1:
+                    ratio_gout = resnet_kw.get('ratio_gin', 0)
+                else:
+                    ratio_gout = down_kw.get('ratio_gout', 0)
+                x = FFC_BN_ACT(min(self.max_features, self.ngf * mult),
+                               min(self.max_features, self.ngf * mult * 2),
+                               kernel_size=3, stride=2, padding=1,
+                               ratio_gin=ratio_gin, ratio_gout=ratio_gout,
+                               enable_lfu=down_kw.get('enable_lfu', True),
+                               activation=self.activation,
+                               name=f'model_{idx}', **common)(x, train=train)
+                idx += 1
+            if stage == 'front':
+                return x
+        else:
+            idx += self.n_downsampling
 
         # --- bottleneck resnet blocks
         mult = 2 ** self.n_downsampling
