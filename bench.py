@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 A100_BASELINE_IMG_S = 25.0
-BATCH = 8
+BATCH = 16
 SIZE = 512
 CHAIN = 10
 REPEATS = 4

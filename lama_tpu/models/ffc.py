@@ -79,11 +79,23 @@ class FourierUnit(nn.Module):
     use_se: bool = False
     ffc3d: bool = False  # accepted for API parity; 3-D FFT not used by shipped configs
     fft_norm: str = 'ortho'
+    use_dft_matmul: Optional[bool] = None  # None = auto (MXU DFT for small dims)
+    # DFT matmul operand dtype; None = follow the module compute dtype policy:
+    # bf16 compute -> bf16 spectral (full-rate MXU), otherwise fp32 with
+    # Precision.HIGHEST (exact parity vs jnp.fft)
+    spectral_dtype: Optional[Dtype] = None
     bn_axis_name: Optional[str] = None
     dtype: Optional[Dtype] = None
 
+    def _spectral_dtype(self):
+        if self.spectral_dtype is not None:
+            return self.spectral_dtype
+        return jnp.bfloat16 if self.dtype == jnp.bfloat16 else jnp.float32
+
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from ..ops.spectral import irfft2_dft, rfft2_dft, use_dft_for
+
         orig_dtype = x.dtype
         if self.spatial_scale_factor is not None:
             orig_size = x.shape[1:3]
@@ -91,10 +103,15 @@ class FourierUnit(nn.Module):
                             mode=self.spatial_scale_mode, align_corners=False)
 
         b, h, w, c = x.shape
-        fft = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2), norm=self.fft_norm)
-        w2 = fft.shape[2]
+        dft = self.use_dft_matmul if self.use_dft_matmul is not None else use_dft_for(h, w)
+        if dft:
+            f_re, f_im = rfft2_dft(x, norm=self.fft_norm, dtype=self._spectral_dtype())
+        else:
+            fft = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2), norm=self.fft_norm)
+            f_re, f_im = fft.real, fft.imag
+        w2 = f_re.shape[2]
         # interleave re/im per channel: (B, H, W2, C, 2) -> (B, H, W2, 2C)
-        y = jnp.stack([fft.real, fft.imag], axis=-1).reshape(b, h, w2, 2 * c)
+        y = jnp.stack([f_re, f_im], axis=-1).reshape(b, h, w2, 2 * c)
 
         if self.spectral_pos_encoding:
             coords_v = jnp.broadcast_to(jnp.linspace(0, 1, h)[None, :, None, None], (b, h, w2, 1))
@@ -105,13 +122,17 @@ class FourierUnit(nn.Module):
             y = SELayer(name='se', dtype=jnp.float32)(y)
 
         y = Conv2d(2 * self.features, kernel_size=1, use_bias=False,
-                   name='conv_layer', dtype=jnp.float32)(y)
+                   name='conv_layer', dtype=self._spectral_dtype())(y)
         y = BatchNorm(name='bn', axis_name=self.bn_axis_name)(y, use_running_average=not train)
         y = jax.nn.relu(y)
 
         y = y.reshape(b, h, w2, self.features, 2)
-        fft_out = jax.lax.complex(y[..., 0], y[..., 1])
-        out = jnp.fft.irfft2(fft_out, s=(h, w), axes=(1, 2), norm=self.fft_norm)
+        if dft:
+            out = irfft2_dft(y[..., 0], y[..., 1], s=(h, w), norm=self.fft_norm,
+                             dtype=self._spectral_dtype())
+        else:
+            fft_out = jax.lax.complex(y[..., 0], y[..., 1])
+            out = jnp.fft.irfft2(fft_out, s=(h, w), axes=(1, 2), norm=self.fft_norm)
 
         if self.spatial_scale_factor is not None:
             out = interpolate(out, size=orig_size, mode=self.spatial_scale_mode,
@@ -392,6 +413,7 @@ class FFCResNetGenerator(nn.Module):
     max_features: int = 1024
     out_ffc: bool = False
     out_ffc_kwargs: Optional[dict] = None
+    spectral_kwargs: Optional[dict] = None  # forwarded to every FourierUnit
     bn_axis_name: Optional[str] = None
     dtype: Optional[Dtype] = None
 
@@ -406,7 +428,8 @@ class FFCResNetGenerator(nn.Module):
         init_kw = dict(self.init_conv_kwargs or {})
         down_kw = dict(self.downsample_conv_kwargs or {})
         resnet_kw = dict(self.resnet_conv_kwargs or {})
-        common = dict(bn_axis_name=self.bn_axis_name, dtype=self.dtype)
+        common = dict(bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+                      spectral_kwargs=self.spectral_kwargs)
 
         idx = 2
         if stage in ('full', 'front'):

@@ -73,6 +73,9 @@ def conv_transpose2d(x, kernel, bias=None, stride=2, padding=1, output_padding=1
     output_padding = _pair(output_padding)
     dilation = _pair(dilation)
     kh, kw = kernel.shape[0], kernel.shape[1]
+    # note: a 4-phase subpixel decomposition of the k3/s2 case was measured
+    # SLOWER than XLA's lhs-dilated conv on v5e (interleave traffic dominates);
+    # keeping the native formulation.
     pad_h = dilation[0] * (kh - 1) - padding[0]
     pad_w = dilation[1] * (kw - 1) - padding[1]
     flipped = jnp.flip(kernel, axis=(0, 1))

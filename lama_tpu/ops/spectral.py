@@ -1,0 +1,109 @@
+"""2-D real FFT as MXU matmuls — the TPU-native spectral engine.
+
+XLA's FFT custom-call on TPU runs on scalar/vector units and is the dominant
+cost of the FFC global branch. For the bottleneck resolutions LaMa cares
+about (H, W ≤ ~256 after 3 downsamplings), an explicit DFT as dense matmuls
+runs on the 128×128 MXU instead: ~10× more FLOPs, far more than 10× the
+throughput. With fp32 operands the transform is exact (same ortho
+normalisation as jnp.fft.rfft2) up to fp32 rounding, preserving checkpoint
+parity; with bf16 operands (dtype=jnp.bfloat16) the MXU runs at full rate
+with fp32 accumulation — ~3e-3 absolute error, fine for inference.
+
+rfft2(x)  = D_H @ (x @ R_W)     (complex column DFT after real row DFT)
+irfft2(F) = Re(D_H^{-1} @ F) @ R_W^+  expressed with real matmuls.
+
+Matrices are cached per (size, norm). Used by FourierUnit when
+`use_dft_matmul` resolves to auto/True; falls back to jnp.fft for large
+spatial dims where O(N²) loses to O(N log N).
+"""
+from functools import lru_cache
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@lru_cache(maxsize=64)
+def _rdft_mats(n: int, norm: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Real-input DFT matrices: x (.., n) @ (Wr + i Wi) == rfft(x).
+    Shapes (n, n//2+1)."""
+    k = np.arange(n)[:, None]
+    f = np.arange(n // 2 + 1)[None, :]
+    ang = -2.0 * np.pi * k * f / n
+    scale = 1.0 / np.sqrt(n) if norm == 'ortho' else 1.0
+    return (np.cos(ang) * scale).astype(np.float32), (np.sin(ang) * scale).astype(np.float32)
+
+
+@lru_cache(maxsize=64)
+def _dft_mats(n: int, norm: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Full complex DFT matrices (n, n): X = D @ x along that axis
+    (D is symmetric)."""
+    k = np.arange(n)[:, None]
+    f = np.arange(n)[None, :]
+    ang = -2.0 * np.pi * k * f / n
+    scale = 1.0 / np.sqrt(n) if norm == 'ortho' else 1.0
+    return (np.cos(ang) * scale).astype(np.float32), (np.sin(ang) * scale).astype(np.float32)
+
+
+@lru_cache(maxsize=64)
+def _irdft_mats(n: int, norm: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Inverse real DFT along W: x = Fr @ cr + Fi @ ci, with hermitian
+    double-count weights for omitted negative freqs. Shapes (n//2+1, n)."""
+    nf = n // 2 + 1
+    f = np.arange(nf)[:, None]
+    k = np.arange(n)[None, :]
+    ang = 2.0 * np.pi * f * k / n
+    w = np.full((nf, 1), 2.0)
+    w[0] = 1.0
+    if n % 2 == 0:
+        w[-1] = 1.0
+    scale = 1.0 / np.sqrt(n) if norm == 'ortho' else 1.0 / n
+    cr = (np.cos(ang) * w * scale).astype(np.float32)
+    ci = (-np.sin(ang) * w * scale).astype(np.float32)
+    return cr, ci
+
+
+def _es(eq, a, b, dtype):
+    """DFT matmul. dtype=bf16: native MXU pass (default precision). dtype=f32:
+    Precision.HIGHEST — on TPU the default precision silently truncates fp32
+    matmul operands to bf16, which would defeat the parity guarantee.
+    CPU backend lacks bf16×bf16→f32 dots, so bf16 falls back to f32 there."""
+    if dtype == jnp.bfloat16 and jax.default_backend() == 'cpu':
+        dtype = jnp.float32
+    precision = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    return jnp.einsum(eq, a.astype(dtype), jnp.asarray(b).astype(dtype),
+                      preferred_element_type=jnp.float32, precision=precision)
+
+
+def rfft2_dft(x, norm: str = 'ortho', dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """rfft2 over axes (1, 2) of NHWC input via matmuls.
+    Returns (real, imag), each (B, H, W//2+1, C) fp32."""
+    _, h, w, _ = x.shape
+    wr, wi = _rdft_mats(w, norm)
+    xr = _es('bhwc,wf->bhfc', x, wr, dtype)
+    xi = _es('bhwc,wf->bhfc', x, wi, dtype)
+    hr, hi = _dft_mats(h, norm)
+    yr = _es('bhfc,hk->bkfc', xr, hr, dtype) - _es('bhfc,hk->bkfc', xi, hi, dtype)
+    yi = _es('bhfc,hk->bkfc', xr, hi, dtype) + _es('bhfc,hk->bkfc', xi, hr, dtype)
+    return yr, yi
+
+
+def irfft2_dft(fr, fi, s: Tuple[int, int], norm: str = 'ortho',
+               dtype=jnp.float32) -> jnp.ndarray:
+    """Inverse of rfft2_dft: (B, H, W//2+1, C) re/im -> (B, H, W, C) real.
+    H-axis inverse uses conj(D) (D symmetric unitary for ortho)."""
+    h, w = s
+    hr, hi = _dft_mats(h, norm)
+    inv_scale = 1.0 if norm == 'ortho' else 1.0 / h
+    ihr, ihi = hr.T * inv_scale, -hi.T * inv_scale
+    xr = _es('bkfc,kh->bhfc', fr, ihr, dtype) - _es('bkfc,kh->bhfc', fi, ihi, dtype)
+    xi = _es('bkfc,kh->bhfc', fr, ihi, dtype) + _es('bkfc,kh->bhfc', fi, ihr, dtype)
+    cr, ci = _irdft_mats(w, norm)
+    # x[w] = Re(sum_f X[f] e^{+i ang}) = Xr·cos − Xi·sin; ci carries the −sin
+    return _es('bhfc,fw->bhwc', xr, cr, dtype) + _es('bhfc,fw->bhwc', xi, ci, dtype)
+
+
+def use_dft_for(h: int, w: int) -> bool:
+    """Heuristic: dense DFT wins on the MXU up to ~256-point transforms."""
+    return max(h, w) <= 256
