@@ -40,7 +40,20 @@ def main(args):
         args.datadir, args.predictdir, **config.get('dataset_kwargs', {}))
 
     ctors = {'ssim': SSIMScore, 'lpips': LPIPSScore, 'fid': FIDScore}
-    enabled = args.metrics.split(',') if args.metrics else list(ctors)
+    if config.get('evaluator_kwargs', {}).get('segmentation') or \
+            (args.metrics and 'segm' in args.metrics):
+        from lama_tpu.evaluation.segm_scores import (SegmentationAwareFID,
+                                                     SegmentationAwareLPIPS,
+                                                     SegmentationAwareSSIM,
+                                                     SegmentationClassStats)
+        seg_weights = os.environ.get('TORCH_HOME')
+        ctors.update({
+            'segm_stats': lambda: SegmentationClassStats(weights_path=seg_weights),
+            'segm_ssim': lambda: SegmentationAwareSSIM(weights_path=seg_weights),
+            'segm_lpips': lambda: SegmentationAwareLPIPS(weights_path=seg_weights),
+            'segm_fid': lambda: SegmentationAwareFID(weights_path=seg_weights),
+        })
+    enabled = args.metrics.split(',') if args.metrics else ['ssim', 'lpips', 'fid']
     metrics = {k: ctors[k]() for k in enabled}
 
     ev_kwargs = dict(config.get('evaluator_kwargs', {}))

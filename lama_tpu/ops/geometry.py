@@ -7,8 +7,17 @@ rotation around the image centre, bilinear sampling, zero padding outside.
 import jax.numpy as jnp
 
 
-def _grid_sample_bilinear(x, ys, xs):
-    """Sample NHWC `x` at float coords (ys, xs) of shape (H', W'); zeros outside."""
+def _reflect_index(i, n):
+    """Reflect out-of-range indices into [0, n-1] (border-reflect sampling)."""
+    period = jnp.maximum(2 * n - 2, 1)
+    i = jnp.abs(i)
+    i = i % period
+    return jnp.where(i >= n, period - i, i)
+
+
+def _grid_sample_bilinear(x, ys, xs, padding_mode='zeros'):
+    """Sample NHWC `x` at float coords (ys, xs) of shape (H', W').
+    padding_mode: 'zeros' (outside -> 0) or 'reflection'."""
     h, w = x.shape[1], x.shape[2]
     y0 = jnp.floor(ys)
     x0 = jnp.floor(xs)
@@ -16,6 +25,10 @@ def _grid_sample_bilinear(x, ys, xs):
     wx = (xs - x0)[None, :, :, None]
 
     def gather(yi, xi):
+        if padding_mode == 'reflection':
+            yc = _reflect_index(yi, h).astype(jnp.int32)
+            xc = _reflect_index(xi, w).astype(jnp.int32)
+            return x[:, yc, xc]
         valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
         yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
         xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
@@ -42,11 +55,33 @@ def rotate(x, angle_degrees):
     return _grid_sample_bilinear(x, ys, xs)
 
 
-def affine_warp(x, matrix):
+def affine_warp(x, matrix, padding_mode='zeros'):
     """Apply inverse 2x3 affine `matrix` (output->input coords) to NHWC tensor."""
     _, h, w, _ = x.shape
     yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                           jnp.arange(w, dtype=jnp.float32), indexing='ij')
     xs = matrix[0, 0] * xx + matrix[0, 1] * yy + matrix[0, 2]
     ys = matrix[1, 0] * xx + matrix[1, 1] * yy + matrix[1, 2]
-    return _grid_sample_bilinear(x, ys, xs)
+    return _grid_sample_bilinear(x, ys, xs, padding_mode=padding_mode)
+
+
+def random_affine(key, x, degrees=30.0, translate=0.2, padding_mode='reflection'):
+    """Per-sample random rotation (±degrees) + translation (±translate·size)
+    around the centre — the kornia RandomAffine equivalent used by
+    FakeFakesGenerator (reference fake_fakes.py:8-18)."""
+    import jax as _jax
+    b, h, w, _ = x.shape
+    k1, k2, k3 = _jax.random.split(key, 3)
+    angles = jnp.deg2rad(_jax.random.uniform(k1, (b,), minval=-degrees, maxval=degrees))
+    tx = _jax.random.uniform(k2, (b,), minval=-translate, maxval=translate) * w
+    ty = _jax.random.uniform(k3, (b,), minval=-translate, maxval=translate) * h
+    cos, sin = jnp.cos(angles), jnp.sin(angles)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+
+    def warp_one(img, c, s, dx, dy):
+        # inverse map with rotation about centre then translation
+        m = jnp.array([[c, -s, cx - c * cx + s * cy - dx],
+                       [s, c, cy - s * cx - c * cy - dy]])
+        return affine_warp(img[None], m, padding_mode=padding_mode)[0]
+
+    return _jax.vmap(warp_one)(x, cos, sin, tx, ty)
