@@ -27,7 +27,8 @@ def mark_mask_boundaries(img: np.ndarray, mask: np.ndarray,
 
 
 def visualize_mask_and_images(images_dict: Dict[str, np.ndarray], keys: List[str],
-                              last_without_mask=True, rescale_keys=None) -> np.ndarray:
+                              last_without_mask=True, rescale_keys=None,
+                              mask_only_first=False, black_mask=False) -> np.ndarray:
     """One sample row: HWC images side by side with boundaries marked
     (reference visualizers/base.py:24-50 semantics)."""
     mask = images_dict['mask']
@@ -46,7 +47,11 @@ def visualize_mask_and_images(images_dict: Dict[str, np.ndarray], keys: List[str
             img = np.stack([(img_classes % 10) / 10.0,
                             (img_classes % 7) / 7.0,
                             (img_classes % 5) / 5.0], axis=-1)
-        if i < len(keys) - 1 or not last_without_mask:
+        if black_mask and i == 0:
+            img = img * (1 - (np.asarray(mask[..., :1]) > 0.5))
+        draw_boundary = (i == 0) if mask_only_first else \
+            (i < len(keys) - 1 or not last_without_mask)
+        if draw_boundary:
             img = mark_mask_boundaries(img, mask)
         result.append(np.clip(img, 0, 1))
     return np.concatenate(result, axis=1)
