@@ -49,6 +49,98 @@ class InpaintingTrainDataset:
         return dict(image=img.astype(np.float32), mask=mask.astype(np.float32))
 
 
+class InpaintingTrainWebDataset:
+    """Iterable training dataset over webdataset-style tar shards
+    (reference datasets.py:48-61, kind='default_web'), implemented on stdlib
+    tarfile with a shuffle buffer (webdataset itself is unavailable here)."""
+
+    def __init__(self, indir, mask_generator, transform, shuffle_buffer=200,
+                 rng: Optional[np.random.RandomState] = None):
+        import glob as _glob
+        self.shards = sorted(_glob.glob(indir)) if any(c in indir for c in '*?[') \
+            else [indir]
+        self.mask_generator = mask_generator
+        self.transform = transform
+        self.shuffle_buffer = shuffle_buffer
+        self.rng = rng or np.random.RandomState()
+
+    def _iter_images(self):
+        import tarfile
+        for shard in self.shards:
+            with tarfile.open(shard) as tf:
+                for member in tf:
+                    if not member.isfile():
+                        continue
+                    if not member.name.lower().endswith(('.jpg', '.jpeg', '.png')):
+                        continue
+                    data = np.frombuffer(tf.extractfile(member).read(), np.uint8)
+                    img = cv2.imdecode(data, cv2.IMREAD_COLOR)
+                    if img is None:
+                        continue
+                    yield cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+    def __iter__(self):
+        buffer = []
+        iter_i = 0
+
+        def emit(img):
+            nonlocal iter_i
+            img = self.transform(image=img, rng=self.rng)['image']
+            mask = self.mask_generator((img.shape[0], img.shape[1]),
+                                       iter_i=iter_i, rng=self.rng)
+            iter_i += 1
+            return dict(image=img.astype(np.float32), mask=mask.astype(np.float32))
+
+        for img in self._iter_images():
+            buffer.append(img)
+            if len(buffer) >= self.shuffle_buffer:
+                idx = self.rng.randint(len(buffer))
+                yield emit(buffer.pop(idx))
+        self.rng.shuffle(buffer)
+        for img in buffer:
+            yield emit(img)
+
+
+class ImgSegmentationDataset:
+    """Image + precomputed semantic segmentation (one-hot, 150 classes) for
+    segmentation-aware ablations (reference datasets.py:64-98), HWC."""
+
+    def __init__(self, indir, mask_generator, transform, out_size, segm_indir,
+                 semantic_seg_n_classes=150,
+                 rng: Optional[np.random.RandomState] = None):
+        self.indir = indir
+        self.segm_indir = segm_indir
+        self.mask_generator = mask_generator
+        self.transform = transform
+        self.out_size = out_size
+        self.semantic_seg_n_classes = semantic_seg_n_classes
+        self.in_files = sorted(glob.glob(os.path.join(indir, '**', '*.jpg'),
+                                         recursive=True))
+        self.rng = rng or np.random.RandomState()
+
+    def __len__(self):
+        return len(self.in_files)
+
+    def __getitem__(self, item):
+        path = self.in_files[item]
+        img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+        img = cv2.resize(img, (self.out_size, self.out_size))
+        img = self.transform(image=img, rng=self.rng)['image']
+        mask = self.mask_generator((img.shape[0], img.shape[1]), rng=self.rng)
+        segm, segm_classes = self._load_semantic_segm(path)
+        return dict(image=img.astype(np.float32), mask=mask.astype(np.float32),
+                    segm=segm, segm_classes=segm_classes)
+
+    def _load_semantic_segm(self, img_path):
+        segm_path = img_path.replace(self.indir, self.segm_indir).replace('.jpg', '.png')
+        mask = cv2.imread(segm_path, cv2.IMREAD_GRAYSCALE)
+        mask = cv2.resize(mask, (self.out_size, self.out_size),
+                          interpolation=cv2.INTER_NEAREST)
+        classes = np.clip(mask.astype(np.int64) - 1, 0, None)
+        one_hot = np.eye(self.semantic_seg_n_classes, dtype=np.float32)[classes]
+        return one_hot, classes[..., None]
+
+
 class InpaintingDataset:
     """Fixed eval pairs: *mask*.png + <stem><img_suffix>
     (reference evaluation/data.py:58-83), HWC."""
@@ -254,6 +346,25 @@ class BatchLoader:
             stop.set()
 
 
+class IterableBatchLoader:
+    """Batcher over an iterable dataset (web shards); epochs re-iterate."""
+
+    def __init__(self, dataset, batch_size=1):
+        self.dataset = dataset
+        self.batch_size = batch_size
+
+    def set_epoch(self, epoch):
+        pass
+
+    def __iter__(self):
+        batch = []
+        for item in self.dataset:
+            batch.append(item)
+            if len(batch) == self.batch_size:
+                yield collate(batch)
+                batch = []
+
+
 # ------------------------------------------------------------------ factories
 
 def make_default_train_dataloader(indir, kind='default', out_size=512,
@@ -269,6 +380,16 @@ def make_default_train_dataloader(indir, kind='default', out_size=512,
     if kind == 'default':
         dataset = InpaintingTrainDataset(indir=indir, mask_generator=mask_generator,
                                          transform=transform, **kwargs)
+    elif kind == 'default_web':
+        dataset = InpaintingTrainWebDataset(indir=indir, mask_generator=mask_generator,
+                                            transform=transform, **kwargs)
+        dl_kwargs = dict(dataloader_kwargs or {})
+        return IterableBatchLoader(dataset,
+                                   batch_size=dl_kwargs.get('batch_size', 1))
+    elif kind == 'img_with_segm':
+        dataset = ImgSegmentationDataset(indir=indir, mask_generator=mask_generator,
+                                         transform=transform, out_size=out_size,
+                                         **kwargs)
     else:
         raise ValueError(f'Unknown train dataset kind {kind}')
 

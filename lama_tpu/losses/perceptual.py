@@ -26,8 +26,9 @@ class ResNetPL:
 
     def __init__(self, variables=None, weights_path: Optional[str] = None,
                  arch_encoder: str = 'resnet50dilated', dtype=None):
-        assert arch_encoder == 'resnet50dilated', arch_encoder
-        self.model = ResNetDilatedEncoder(dtype=dtype)
+        assert arch_encoder in ('resnet50dilated', 'resnet50'), arch_encoder
+        self.model = ResNetDilatedEncoder(dilated=arch_encoder == 'resnet50dilated',
+                                          dtype=dtype)
         if variables is None:
             variables = self.init_variables(weights_path)
         self.variables = jax.tree.map(jax.lax.stop_gradient, variables)

@@ -60,8 +60,11 @@ class Bottleneck(nn.Module):
 
 
 class ResNetDilatedEncoder(nn.Module):
-    """resnet50dilated, dilate_scale=8 (output stride 8)."""
+    """resnet50dilated, dilate_scale=8 (output stride 8); set `dilated=False`
+    for the plain stride-32 resnet50 (the reference's arch_encoder='resnet50'
+    ablation, perceptual.py ResNetPL arch_encoder kwarg)."""
     layers: Sequence[int] = (3, 4, 6, 3)
+    dilated: bool = True
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -84,12 +87,20 @@ class ResNetDilatedEncoder(nn.Module):
 
         outs = []
         # (planes, blocks, stride, dilation, first_block_first_dilation)
-        stages = [
-            (64, self.layers[0], 1, 1, None),
-            (128, self.layers[1], 2, 1, None),
-            (256, self.layers[2], 1, 2, 1),   # dilated: stride 2->1, first conv d=1
-            (512, self.layers[3], 1, 4, 2),   # dilated: stride 2->1, first conv d=2
-        ]
+        if self.dilated:
+            stages = [
+                (64, self.layers[0], 1, 1, None),
+                (128, self.layers[1], 2, 1, None),
+                (256, self.layers[2], 1, 2, 1),   # dilated: stride 2->1, first conv d=1
+                (512, self.layers[3], 1, 4, 2),   # dilated: stride 2->1, first conv d=2
+            ]
+        else:
+            stages = [
+                (64, self.layers[0], 1, 1, None),
+                (128, self.layers[1], 2, 1, None),
+                (256, self.layers[2], 2, 1, None),
+                (512, self.layers[3], 2, 1, None),
+            ]
         in_planes = 128
         for stage_i, (planes, blocks, stride, dilation, first_d) in enumerate(stages, start=1):
             for block_i in range(blocks):

@@ -69,6 +69,7 @@ class InpaintingTrainStep:
                  g_tx, d_tx, loss_config: LossConfig = LossConfig(),
                  ema: EMAConfig = EMAConfig(),
                  perceptual_fn: Optional[Callable] = None,
+                 vgg_perceptual_fn: Optional[Callable] = None,
                  concat_mask: bool = True,
                  image_to_discriminator: str = 'predicted_image'):
         self.generator = generator
@@ -79,6 +80,7 @@ class InpaintingTrainStep:
         self.loss_config = loss_config
         self.ema = ema
         self.perceptual_fn = perceptual_fn
+        self.vgg_perceptual_fn = vgg_perceptual_fn
         self.concat_mask = concat_mask
         self.image_to_discriminator = image_to_discriminator
 
@@ -116,6 +118,14 @@ class InpaintingTrainStep:
                             cfg.l1_weight_known, cfg.l1_weight_missing)
         total = l1
         metrics = {'gen_l1': l1}
+
+        # classic VGG19 perceptual (weight 0 in shipped configs;
+        # trainers/default.py:103-106)
+        if self.vgg_perceptual_fn is not None and cfg.perceptual_weight > 0:
+            pl_value = jnp.sum(self.vgg_perceptual_fn(
+                pred, img, supervised_mask)) * cfg.perceptual_weight
+            total = total + pl_value
+            metrics['gen_pl'] = pl_value
 
         real_score, real_feats, d_stats = self._disc_apply(state.d_params, state.d_stats, img)
         fake_score, fake_feats, d_stats = self._disc_apply(state.d_params, d_stats, pred)

@@ -82,7 +82,15 @@ class InpaintingTrainer:
             if isinstance(wp, str) and wp:
                 wp = os.path.join(wp, 'ade20k', 'ade20k-resnet50dilated-ppm_deepsup',
                                   'encoder_epoch_20.pth') if os.path.isdir(wp) else wp
-            perceptual_fn = ResNetPL(weights_path=wp, dtype=self.dtype)
+            perceptual_fn = ResNetPL(
+                weights_path=wp, dtype=self.dtype,
+                arch_encoder=_get(config, 'losses.resnet_pl.arch_encoder',
+                                  'resnet50dilated'))
+        vgg_perceptual_fn = None
+        if float(_get(config, 'losses.perceptual.weight', 0) or 0) > 0:
+            from ..losses.perceptual import VGG19PerceptualLoss
+            vgg_perceptual_fn = VGG19PerceptualLoss(
+                weights_path=os.environ.get('LAMA_VGG19_WEIGHTS'), dtype=self.dtype)
 
         loss_config = LossConfig(
             l1_weight_known=float(_get(config, 'losses.l1.weight_known', 10)),
@@ -122,7 +130,8 @@ class InpaintingTrainer:
         self.step_fn = InpaintingTrainStep(
             self.generator, self.discriminator, self.adversarial,
             self.g_tx, self.d_tx, loss_config=loss_config, ema=ema,
-            perceptual_fn=perceptual_fn, concat_mask=self.concat_mask)
+            perceptual_fn=perceptual_fn, vgg_perceptual_fn=vgg_perceptual_fn,
+            concat_mask=self.concat_mask)
 
         # ---- mesh: largest device count that divides the global batch
         axes = tuple(_get(config, 'trainer.mesh.axes', ['data']))
