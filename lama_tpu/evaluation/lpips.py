@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..models.aux.small_nets import (ALEXNET_TAP_CHANNELS, AlexNetFeatures,
+                                     SQUEEZE_TAP_CHANNELS, SqueezeNetFeatures)
 from ..models.aux.vgg import VGG16_CFG, VGG16_LPIPS_TAPS, VGGFeatures
 
 LOGGER = logging.getLogger(__name__)
@@ -41,9 +43,22 @@ def normalize_tensor(x, eps=1e-10):
 class LPIPS:
     def __init__(self, backbone_variables=None, lin_weights=None,
                  vgg_weights_path: Optional[str] = None,
-                 lin_weights_path: Optional[str] = None, dtype=None):
-        self.model = VGGFeatures(cfg=tuple(VGG16_CFG), tap_indices=VGG16_LPIPS_TAPS,
-                                 pool='max', dtype=dtype)
+                 lin_weights_path: Optional[str] = None, net: str = 'vgg',
+                 dtype=None):
+        self.net = net
+        if net == 'vgg':
+            self.model = VGGFeatures(cfg=tuple(VGG16_CFG),
+                                     tap_indices=VGG16_LPIPS_TAPS,
+                                     pool='max', dtype=dtype)
+            self.tap_channels = _VGG16_TAP_CHANNELS
+        elif net == 'alex':
+            self.model = AlexNetFeatures(dtype=dtype)
+            self.tap_channels = ALEXNET_TAP_CHANNELS
+        elif net == 'squeeze':
+            self.model = SqueezeNetFeatures(dtype=dtype)
+            self.tap_channels = SQUEEZE_TAP_CHANNELS
+        else:
+            raise ValueError(f'Unknown LPIPS net {net}')
         if backbone_variables is None:
             backbone_variables = self._init_backbone(vgg_weights_path)
         self.backbone_variables = jax.tree.map(jax.lax.stop_gradient, backbone_variables)
@@ -71,13 +86,13 @@ class LPIPS:
             import torch
             state = torch.load(path, map_location='cpu', weights_only=False)
             weights = []
-            for i in range(5):
+            for i in range(len(self.tap_channels)):
                 w = state[f'lin{i}.model.1.weight'].detach().numpy()  # (1, C, 1, 1)
                 weights.append(np.transpose(w, (2, 3, 1, 0)))  # HWIO
             LOGGER.info(f'LPIPS linear heads loaded from {path}')
             return weights
         LOGGER.warning(f'LPIPS linear heads unavailable ({path}); using ones.')
-        return [np.ones((1, 1, c, 1), np.float32) / c for c in _VGG16_TAP_CHANNELS]
+        return [np.ones((1, 1, c, 1), np.float32) / c for c in self.tap_channels]
 
     def _features(self, x):
         # [0,1] -> [-1,1] -> lpips scaling

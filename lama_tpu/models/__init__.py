@@ -4,6 +4,9 @@ import logging
 from .ffc import FFCResNetGenerator, FFCNLayerDiscriminator
 from .pix2pixhd import (GlobalGenerator, MultiDilatedGlobalGenerator,
                         MultidilatedNLayerDiscriminator, NLayerDiscriminator)
+from .pix2pixhd_extra import (ConfigGlobalGenerator,
+                              GlobalGeneratorFromSuperChannels,
+                              NLayerDiscriminatorAsGen)
 
 LOGGER = logging.getLogger(__name__)
 
@@ -16,6 +19,10 @@ def make_generator(kind, **kwargs):
         return GlobalGenerator(**kwargs)
     if kind == 'ffc_resnet':
         return FFCResNetGenerator(**kwargs)
+    if kind == 'config_global':
+        return ConfigGlobalGenerator(**kwargs)
+    if kind == 'super_channels':
+        return GlobalGeneratorFromSuperChannels(**kwargs)
     raise ValueError(f'Unknown generator kind {kind}')
 
 

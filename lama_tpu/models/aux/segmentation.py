@@ -80,20 +80,57 @@ class PPMDeepsup(nn.Module):
         return x
 
 
+class C1DeepSup(nn.Module):
+    """Last-conv decoder with deep supervision (reference base.py:515-552);
+    pairs with the mobilenetv2dilated encoder (fc_dim=320)."""
+    num_class: int = NUM_CLASS
+    fc_dim: int = 320
+    drop_last_conv: bool = False
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, conv_out: List[jnp.ndarray], seg_size=None, train: bool = False):
+        conv5 = conv_out[-1]
+        x = Conv2d(self.fc_dim // 4, kernel_size=3, padding=1, use_bias=False,
+                   name='cbr_0', dtype=self.dtype)(conv5)
+        x = BatchNorm(name='cbr_1')(x, use_running_average=not train)
+        x = jax.nn.relu(x)
+        if self.drop_last_conv:
+            return x
+        x = Conv2d(self.num_class, kernel_size=1, name='conv_last',
+                   dtype=self.dtype)(x)
+        if seg_size is not None:
+            x = interpolate(x, size=seg_size, mode='bilinear', align_corners=False)
+            return jax.nn.softmax(x.astype(jnp.float32), axis=-1)
+        return jax.nn.log_softmax(x.astype(jnp.float32), axis=-1)
+
+
 class SegmentationModuleNet(nn.Module):
-    """encoder + decoder as one module (apply-once)."""
+    """encoder + decoder as one module (apply-once). arch_encoder:
+    resnet50dilated (+ppm_deepsup) | mobilenetv2dilated (+c1_deepsup),
+    matching the reference ModelBuilder pairs (base.py:166-173)."""
+    arch_encoder: str = 'resnet50dilated'
     drop_last_conv: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, seg_size=None, train: bool = False,
                  return_feature_maps: bool = False):
-        fmaps = ResNetDilatedEncoder(name='encoder', dtype=self.dtype)(x, train=train)
-        if return_feature_maps:
-            return fmaps
-        pred = PPMDeepsup(drop_last_conv=self.drop_last_conv, name='decoder',
-                          dtype=self.dtype)(fmaps, seg_size=seg_size, train=train)
-        return pred
+        if self.arch_encoder == 'resnet50dilated':
+            fmaps = ResNetDilatedEncoder(name='encoder', dtype=self.dtype)(x, train=train)
+            if return_feature_maps:
+                return fmaps
+            return PPMDeepsup(drop_last_conv=self.drop_last_conv, name='decoder',
+                              dtype=self.dtype)(fmaps, seg_size=seg_size, train=train)
+        if self.arch_encoder == 'mobilenetv2dilated':
+            from .mobilenet import MobileNetV2DilatedEncoder
+            fmaps = MobileNetV2DilatedEncoder(name='encoder', dtype=self.dtype)(x, train=train)
+            if return_feature_maps:
+                return fmaps
+            return C1DeepSup(fc_dim=320, drop_last_conv=self.drop_last_conv,
+                             name='decoder', dtype=self.dtype)(fmaps, seg_size=seg_size,
+                                                               train=train)
+        raise NotImplementedError(f'No such arch_encoder={self.arch_encoder}')
 
 
 class SegmentationModule:
@@ -101,8 +138,9 @@ class SegmentationModule:
     in, per-pixel ADE20k label map out."""
 
     def __init__(self, weights_path: Optional[str] = None, variables=None,
+                 arch_encoder: str = 'resnet50dilated',
                  use_default_normalization: bool = True, dtype=None):
-        self.model = SegmentationModuleNet(dtype=dtype)
+        self.model = SegmentationModuleNet(arch_encoder=arch_encoder, dtype=dtype)
         self.use_default_normalization = use_default_normalization
         if variables is None:
             variables = self.model.init(jax.random.PRNGKey(0),

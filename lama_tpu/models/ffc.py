@@ -64,6 +64,33 @@ class SELayer(nn.Module):
         return x * y[:, None, None, :]
 
 
+class FFCSE_block(nn.Module):
+    """Squeeze-excitation over the concatenated (local, global) streams with
+    separate gate projections back to each stream (reference ffc.py:16-46)."""
+    channels: int
+    ratio_g: float
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = x if isinstance(x, tuple) else (x, None)
+        id_l, id_g = x
+        in_cg = int(self.channels * self.ratio_g)
+        in_cl = self.channels - in_cg
+        r = 16
+
+        joined = id_l if id_g is None else jnp.concatenate([id_l, id_g], axis=-1)
+        y = jnp.mean(joined, axis=(1, 2), keepdims=True)
+        y = Conv2d(self.channels // r, kernel_size=1, name='conv1',
+                   dtype=self.dtype)(y)
+        y = jax.nn.relu(y)
+        x_l = None if in_cl == 0 else id_l * jax.nn.sigmoid(
+            Conv2d(in_cl, kernel_size=1, name='conv_a2l', dtype=self.dtype)(y))
+        x_g = None if in_cg == 0 else id_g * jax.nn.sigmoid(
+            Conv2d(in_cg, kernel_size=1, name='conv_a2g', dtype=self.dtype)(y))
+        return x_l, x_g
+
+
 class FourierUnit(nn.Module):
     """Spectral core: rfft2 → 1×1 conv + BN + ReLU in frequency domain → irfft2.
 
