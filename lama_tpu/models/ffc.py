@@ -107,6 +107,9 @@ class FourierUnit(nn.Module):
     ffc3d: bool = False  # accepted for API parity; 3-D FFT not used by shipped configs
     fft_norm: str = 'ortho'
     use_dft_matmul: Optional[bool] = None  # None = auto (MXU DFT for small dims)
+    # opt-in fully-fused Pallas kernel for the eval path (measured slower than
+    # the XLA DFT-matmul path on v5e — see ops/pallas/fourier_unit.py)
+    use_pallas_fused: bool = False
     # DFT matmul operand dtype; None = follow the module compute dtype policy:
     # bf16 compute -> bf16 spectral (full-rate MXU), otherwise fp32 with
     # Precision.HIGHEST (exact parity vs jnp.fft)
@@ -130,6 +133,20 @@ class FourierUnit(nn.Module):
                             mode=self.spatial_scale_mode, align_corners=False)
 
         b, h, w, c = x.shape
+        if (self.use_pallas_fused and not train and not self.spectral_pos_encoding
+                and not self.use_se and self.has_variable('params', 'conv_layer')):
+            # opt-in fused kernel: reuses the SAME parameters the XLA path
+            # creates ('conv_layer'/'bn'); at init the variables don't exist
+            # yet, so initialisation always flows through the XLA path below.
+            from ..ops.pallas.fourier_unit import fused_fourier_unit
+            conv_kernel = self.get_variable('params', 'conv_layer')['kernel']
+            bn_p = self.get_variable('params', 'bn')
+            bn_s = self.get_variable('batch_stats', 'bn')
+            out = fused_fourier_unit(x, conv_kernel, bn_p['scale'], bn_p['bias'],
+                                     bn_s['mean'], bn_s['var'],
+                                     norm=self.fft_norm,
+                                     dtype=self._spectral_dtype())
+            return out.astype(orig_dtype)
         dft = self.use_dft_matmul if self.use_dft_matmul is not None else use_dft_for(h, w)
         if dft:
             f_re, f_im = rfft2_dft(x, norm=self.fft_norm, dtype=self._spectral_dtype())

@@ -1,0 +1,59 @@
+"""Fused FourierUnit Pallas kernel: interpret-mode parity vs the XLA module
+path (exact same parameters), plus planar weight folding unit checks."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from lama_tpu.models.ffc import FourierUnit
+from lama_tpu.ops.pallas.fourier_unit import (_planar_params, _planar_perm,
+                                              fourier_unit_supported,
+                                              fused_fourier_unit)
+
+
+def test_planar_perm_roundtrip():
+    c = 6
+    perm = _planar_perm(c)
+    # planar p = j*C + c maps to interleaved 2c+j
+    assert perm[0] == 0          # (j=0, c=0) -> re of ch0
+    assert perm[c] == 1          # (j=1, c=0) -> im of ch0
+    assert sorted(perm.tolist()) == list(range(2 * c))
+
+
+def test_planar_params_fold(rng):
+    c, co = 4, 4
+    kern = rng.randn(1, 1, 2 * c, 2 * co).astype(np.float32)
+    gamma = rng.rand(2 * co).astype(np.float32) + 0.5
+    beta = rng.randn(2 * co).astype(np.float32)
+    mean = rng.randn(2 * co).astype(np.float32)
+    var = rng.rand(2 * co).astype(np.float32) + 0.5
+    w, b = _planar_params(kern, gamma, beta, mean, var)
+    assert w.shape == (2 * c, 2 * co)
+    # folded result on a random input == conv + BN applied separately
+    x = rng.randn(3, 2 * c).astype(np.float32)
+    y_ref = (x @ kern[0, 0] - mean) / np.sqrt(var + 1e-5) * gamma + beta
+    y_planar = x[:, _planar_perm(c)] @ w + b
+    # y_planar[q] == y_int[perm_out[q]] -> invert the output permutation
+    inv = np.argsort(_planar_perm(co))
+    np.testing.assert_allclose(y_planar[:, inv], y_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_fourier_unit_interpret_parity(rng):
+    """Interpret mode (runs on CPU) must match the XLA FourierUnit with the
+    same parameters to fp32 rounding."""
+    x = jnp.asarray(rng.rand(2, 16, 16, 8).astype(np.float32))
+    fu = FourierUnit(features=8)
+    v = fu.init(jax.random.PRNGKey(0), x, train=False)
+    ref = fu.apply(v, x, train=False)
+    out = fused_fourier_unit(
+        x, v['params']['conv_layer']['kernel'],
+        v['params']['bn']['scale'], v['params']['bn']['bias'],
+        v['batch_stats']['bn']['mean'], v['batch_stats']['bn']['var'],
+        dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_supported_envelope():
+    assert fourier_unit_supported(64, 64, 192)
+    assert not fourier_unit_supported(512, 512, 192)
