@@ -42,6 +42,9 @@ def main(config_name, overrides):
         import jax
         jax.config.update('jax_platforms', 'cpu')
 
+    from lama_tpu.parallel.multihost import maybe_initialize_distributed
+    maybe_initialize_distributed()
+
     run_dir = config.get('run_dir')
     if not run_dir:
         out_root = config.select('location.out_root_dir') or os.getcwd()

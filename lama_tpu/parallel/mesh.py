@@ -41,6 +41,23 @@ def spatial_sharding(mesh: Mesh, data_axis: str = 'data', space_axis: str = 'spa
     return NamedSharding(mesh, P(data_axis, space_axis))
 
 
+def shard_predict(predict_fn, mesh: Mesh, data_axis: str = 'data',
+                  space_axis: Optional[str] = 'space'):
+    """jit a `predict_fn(variables, image, mask) -> image` for 2-D
+    (data, space) sharding: batch over `data_axis`, image H over
+    `space_axis` — the resolution-scaling analogue of sequence parallelism
+    (SURVEY §5.7). GSPMD inserts halo exchanges for the reflect-padded convs
+    and collectives for the H-axis DFT matmuls automatically; no manual
+    pipeline split (unlike the reference refiner's multi-GPU rears,
+    refinement.py:266-289)."""
+    spec = P(data_axis, space_axis) if space_axis in mesh.axis_names else P(data_axis)
+    img_sharding = NamedSharding(mesh, spec)
+    repl = NamedSharding(mesh, P())
+    return jax.jit(predict_fn,
+                   in_shardings=(None, img_sharding, img_sharding),
+                   out_shardings=img_sharding), img_sharding, repl
+
+
 def shard_train_step(step_fn, mesh: Mesh, state, batch_axis: str = 'data'):
     """jit `step_fn(state, batch, rng)` with params replicated and the batch
     sharded along `batch_axis`. Returns (jitted_fn, sharded_state)."""

@@ -1,0 +1,45 @@
+"""2-D (data, space) mesh sharding: the sharded forward must equal the
+unsharded forward bit-for-bit-ish — GSPMD halo exchange for reflect-padded
+convs and collectives for the H-axis DFT must be transparent."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from lama_tpu.models.ffc import FFCResNetGenerator
+from lama_tpu.parallel.mesh import make_mesh, shard_predict
+
+TINY = dict(
+    input_nc=4, output_nc=3, ngf=8, n_downsampling=2, n_blocks=2,
+    add_out_act='sigmoid',
+    init_conv_kwargs=dict(ratio_gin=0, ratio_gout=0, enable_lfu=False),
+    downsample_conv_kwargs=dict(ratio_gin=0, ratio_gout=0, enable_lfu=False),
+    resnet_conv_kwargs=dict(ratio_gin=0.75, ratio_gout=0.75, enable_lfu=False),
+)
+
+
+def test_data_space_sharded_forward_matches(rng, cpu_mesh_devices):
+    gen = FFCResNetGenerator(**TINY)
+    b, h, w = 2, 64, 64
+    img = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+    mask = jnp.zeros((b, h, w, 1)).at[:, 16:40, 16:40].set(1.0)
+    x = jnp.concatenate([img * (1 - mask), mask], axis=-1)
+    variables = gen.init(jax.random.PRNGKey(0), x, train=False)
+
+    def predict(variables, image, mask):
+        masked = jnp.concatenate([image * (1 - mask), mask], axis=-1)
+        pred = gen.apply(variables, masked, train=False)
+        return mask * pred + (1 - mask) * image
+
+    ref = jax.jit(predict)(variables, img, mask)
+
+    mesh = make_mesh(('data', 'space'), shape=(2, 4), devices=cpu_mesh_devices)
+    fn, img_sharding, repl = shard_predict(predict, mesh)
+    img_s = jax.device_put(img, img_sharding)
+    mask_s = jax.device_put(mask, img_sharding)
+    vars_s = jax.device_put(variables, repl)
+    out = fn(vars_s, img_s, mask_s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+    # result really is sharded over the space axis
+    assert not out.sharding.is_fully_replicated
