@@ -181,9 +181,11 @@ class OurInpaintingDataset:
         self.datadir = datadir
         self.mask_filenames = sorted(glob.glob(os.path.join(datadir, 'mask', '**', '*mask*.png'),
                                                recursive=True))
+        # note: the reference rsplits the FULL path (evaluation/data.py:90),
+        # which breaks for directories containing '-'; we split the basename
         self.img_filenames = [
             os.path.join(datadir, 'img',
-                         os.path.basename(f.rsplit('-', 1)[0].rsplit('_', 1)[0]) + '.png')
+                         os.path.basename(f).rsplit('-', 1)[0].rsplit('_', 1)[0] + '.png')
             for f in self.mask_filenames]
         self.pad_out_to_modulo = pad_out_to_modulo
         self.scale_factor = scale_factor
@@ -214,6 +216,30 @@ class PrecomputedInpaintingResultsDataset(InpaintingDataset):
         self.predictdir = predictdir
         self.pred_filenames = [
             os.path.join(predictdir, os.path.splitext(f[len(datadir):])[0] + inpainted_suffix)
+            for f in self.mask_filenames]
+
+    def __getitem__(self, i):
+        result = super().__getitem__(i)
+        result['inpainted'] = load_image(self.pred_filenames[i])
+        if self.pad_out_to_modulo is not None and self.pad_out_to_modulo > 1:
+            result['inpainted'] = pad_img_to_modulo(result['inpainted'],
+                                                    self.pad_out_to_modulo)
+        return result
+
+
+class OurPrecomputedInpaintingResultsDataset(OurInpaintingDataset):
+    """(image, mask, inpainted) triples for the mask/ img/ layout
+    (reference evaluation/data.py:126-143)."""
+
+    def __init__(self, datadir, predictdir, inpainted_suffix='png', **kwargs):
+        super().__init__(datadir, **kwargs)
+        if not datadir.endswith('/'):
+            datadir += '/'
+        self.predictdir = predictdir
+        self.pred_filenames = [
+            os.path.join(predictdir,
+                         os.path.basename(os.path.splitext(f)[0])
+                         + f'_inpainted.{inpainted_suffix}')
             for f in self.mask_filenames]
 
     def __getitem__(self, i):

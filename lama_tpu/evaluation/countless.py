@@ -47,6 +47,33 @@ _DOWNGRADE = {np.dtype(np.uint16): np.uint8,
               np.dtype(np.uint64): np.uint32}
 
 
+def countless3d(data: np.ndarray) -> np.ndarray:
+    """3-D 2×2×2 mode downsampling (the vendored countless3d.py's dynamic
+    majority algorithm, simplified to an exact block mode — the inpainting
+    pipeline itself only uses the 2-D variant). Even dims required."""
+    assert data.ndim == 3 and all(s % 2 == 0 for s in data.shape), data.shape
+    z, y, x = data.shape
+    blocks = data.reshape(z // 2, 2, y // 2, 2, x // 2, 2)
+    blocks = blocks.transpose(0, 2, 4, 1, 3, 5).reshape(z // 2, y // 2, x // 2, 8)
+    # exact mode per block; ties resolved to the smallest label (deterministic)
+    out = np.empty(blocks.shape[:3], dtype=data.dtype)
+    flat = blocks.reshape(-1, 8)
+    sorted_vals = np.sort(flat, axis=1)
+    best_count = np.ones(flat.shape[0], dtype=np.int8)
+    best_val = sorted_vals[:, 0].copy()
+    run_val = sorted_vals[:, 0].copy()
+    run_count = np.ones(flat.shape[0], dtype=np.int8)
+    for k in range(1, 8):
+        same = sorted_vals[:, k] == run_val
+        run_count = np.where(same, run_count + 1, 1)
+        run_val = sorted_vals[:, k]
+        better = run_count > best_count
+        best_count = np.where(better, run_count, best_count)
+        best_val = np.where(better, run_val, best_val)
+    out.ravel()[:] = best_val
+    return out
+
+
 def countless(data: np.ndarray) -> np.ndarray:
     """Raw COUNTLESS (incorrect when 0 labels are present — kept for parity
     with the vendored module's API)."""
