@@ -40,8 +40,16 @@ class InpaintingTrainDataset:
         return len(self.in_files)
 
     def __getitem__(self, item) -> Dict[str, np.ndarray]:
-        img = cv2.imread(self.in_files[item])
-        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        path = self.in_files[item]
+        img = None
+        if path.lower().endswith(('.jpg', '.jpeg')):
+            # native libjpeg decode (GIL-free C++); cv2 fallback below
+            from . import native
+            if native.available():
+                with open(path, 'rb') as f:
+                    img = native.decode_jpeg(f.read())
+        if img is None:
+            img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
         img = self.transform(image=img, rng=self.rng)['image']  # HWC float
         mask = self.mask_generator((img.shape[0], img.shape[1]),
                                    iter_i=self.iter_i, rng=self.rng)
