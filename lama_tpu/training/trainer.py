@@ -181,6 +181,7 @@ class InpaintingTrainer:
         self.max_epochs = int(_get(config, 'trainer.kwargs.max_epochs', 1))
         self.limit_train_batches = _get(config, 'trainer.kwargs.limit_train_batches', None)
         self.limit_val_batches = _get(config, 'trainer.kwargs.limit_val_batches', None)
+        self.terminate_on_nan = bool(_get(config, 'trainer.kwargs.terminate_on_nan', False))
 
         self.state = None
         self.global_step = 0
@@ -257,6 +258,11 @@ class InpaintingTrainer:
                     LOGGER.info(f'epoch {epoch} step {self.global_step}: '
                                 + ' '.join(f'{k}={v:.4f}' for k, v in
                                            list(host_metrics.items())[:6]))
+                    if self.terminate_on_nan and not all(
+                            np.isfinite(v) for v in host_metrics.values()):
+                        raise FloatingPointError(
+                            f'non-finite training metrics at step '
+                            f'{self.global_step}: {host_metrics}')
                 if (self.visualize_each_iters and jax.process_index() == 0
                         and self.global_step % self.visualize_each_iters == 0):
                     self._visualize(epoch, batch_i, batch, suffix='_train')
@@ -303,7 +309,19 @@ class InpaintingTrainer:
                 out[f'val_{name}_{group}_{stat}'] = float(val)
         LOGGER.info(f'epoch {epoch} validation: ' +
                     ' '.join(f'{k}={v:.4f}' for k, v in out.items() if 'total' in k))
+        self._log_validation_table(epoch, results)
         return out
+
+    def _log_validation_table(self, epoch, results):
+        """Pretty-print the metric × mask-area-bin table each validation
+        epoch (reference base.py:185-194 pandas reports)."""
+        try:
+            import pandas as pd
+            table = pd.DataFrame(results).stack(future_stack=True).unstack(level=0)
+            table.dropna(axis=1, how='all', inplace=True)
+            LOGGER.info(f'Validation metrics after epoch #{epoch}:\n{table}')
+        except Exception as e:
+            LOGGER.debug(f'validation table formatting failed: {e}')
 
     # ---------------------------------------------------------------- helpers
     def _visualize(self, epoch, batch_i, batch, suffix=''):
