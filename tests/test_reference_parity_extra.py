@@ -18,38 +18,9 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REFERENCE),
 
 
 @pytest.fixture(scope='module', autouse=True)
-def stub_reference_deps():
-    for name in ['kornia', 'kornia.geometry', 'kornia.geometry.transform']:
-        sys.modules.setdefault(name, types.ModuleType(name))
-    sys.modules['kornia.geometry.transform'].rotate = None
-    if 'pytorch_lightning' not in sys.modules:
-        pl = types.ModuleType('pytorch_lightning')
-        pl.seed_everything = lambda *a, **k: None
-        sys.modules['pytorch_lightning'] = pl
-    if 'easydict' not in sys.modules:
-        ed = types.ModuleType('easydict')
-
-        class EasyDict(dict):
-            __getattr__ = dict.get
-        ed.EasyDict = EasyDict
-        sys.modules['easydict'] = ed
-    if 'torchvision' not in sys.modules:
-        tv = types.ModuleType('torchvision')
-        tv.models = types.ModuleType('torchvision.models')
-        # fid/inception.py subclasses these at import time; instantiation
-        # never happens in these tests
-        tv.models.inception = types.SimpleNamespace(
-            InceptionOutputs=tuple, InceptionA=torch.nn.Module,
-            InceptionB=torch.nn.Module, InceptionC=torch.nn.Module,
-            InceptionD=torch.nn.Module, InceptionE=torch.nn.Module,
-            InceptionAux=torch.nn.Module)
-        tv.models.utils = types.SimpleNamespace(load_state_dict_from_url=None)
-        sys.modules['torchvision'] = tv
-        sys.modules['torchvision.models'] = tv.models
-    for name in ['skimage', 'skimage.metrics']:
-        sys.modules.setdefault(name, types.ModuleType(name))
-    sys.modules['skimage.metrics'].structural_similarity = None
-    sys.path.insert(0, REFERENCE)
+def stub_reference_deps_fixture():
+    from conftest import stub_reference_deps
+    stub_reference_deps()
     yield
 
 
