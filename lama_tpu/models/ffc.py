@@ -477,9 +477,10 @@ class FFCResNetGenerator(nn.Module):
 
         idx = 2
         if stage in ('full', 'front'):
-            # --- index 0: ReflectionPad(3); index 1: 7×7 init FFC_BN_ACT
-            x = reflection_pad2d(x, 3)
-            x = FFC_BN_ACT(self.input_nc, self.ngf, kernel_size=7, padding=0,
+            # --- index 0: ReflectionPad(3); index 1: 7×7 init FFC_BN_ACT.
+            # the pad is folded into the conv (padding=3 + reflect mode) so it
+            # takes the decomposed fast path instead of a full-tensor copy
+            x = FFC_BN_ACT(self.input_nc, self.ngf, kernel_size=7, padding=3,
                            ratio_gin=init_kw.get('ratio_gin', 0),
                            ratio_gout=init_kw.get('ratio_gout', 0),
                            enable_lfu=init_kw.get('enable_lfu', True),
@@ -550,10 +551,9 @@ class FFCResNetGenerator(nn.Module):
                                name=f'model_{idx}', **common)(x, train=train)
             idx += 1
 
-        # --- final ReflectionPad(3) + 7×7 conv (+ out activation)
-        x = reflection_pad2d(x, 3)
+        # --- final ReflectionPad(3) + 7×7 conv (+ out activation), pad folded
         idx += 1
-        x = Conv2d(self.output_nc, kernel_size=7, padding=0,
+        x = Conv2d(self.output_nc, kernel_size=7, padding=3, padding_mode='reflect',
                    name=f'model_{idx}', dtype=self.dtype)(x)
         if self.add_out_act:
             out_act = get_activation('tanh' if self.add_out_act is True else self.add_out_act)

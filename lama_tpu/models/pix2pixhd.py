@@ -154,27 +154,25 @@ class ResnetBlock(nn.Module):
         second_dilation = self.second_dilation if self.second_dilation is not None else self.dilation
         pad_mult = 2 if self.kernel_size == 5 else 1
 
-        def conv(features, dilation, groups, name):
+        pad_mode = {'reflect': 'reflect', 'replicate': 'replicate'}.get(
+            self.padding_type, 'zeros')
+
+        def conv_padded(features, dilation, groups, name, t):
+            p = dilation * pad_mult
             if self.conv_kind == 'depthwise':
                 return DepthWiseSeparableConv(features, kernel_size=self.kernel_size,
-                                              padding=0, dilation=dilation, name=name,
-                                              dtype=self.dtype)
-            return Conv2d(features, kernel_size=self.kernel_size, padding=0,
-                          dilation=dilation, groups=groups, name=name, dtype=self.dtype)
-
-        def padded(t, dilation):
-            p = dilation * pad_mult
-            if self.padding_type in ('reflect', 'replicate'):
-                return pad2d(t, p, mode=self.padding_type)
-            return pad2d(t, p, mode='zeros')
+                                              padding=p, dilation=dilation,
+                                              padding_mode=pad_mode, name=name,
+                                              dtype=self.dtype)(t)
+            return Conv2d(features, kernel_size=self.kernel_size, padding=p,
+                          dilation=dilation, groups=groups, padding_mode=pad_mode,
+                          name=name, dtype=self.dtype)(t)
 
         x_before = x
-        h = padded(x_before, self.dilation)
-        h = conv(self.dim, self.dilation, 1, 'conv_block_1')(h)
+        h = conv_padded(self.dim, self.dilation, 1, 'conv_block_1', x_before)
         h = BatchNorm(name='conv_block_2', axis_name=self.bn_axis_name)(h, use_running_average=not train)
         h = act(h)
-        h = padded(h, second_dilation)
-        h = conv(self.dim, second_dilation, self.groups, 'conv_block_5')(h)
+        h = conv_padded(self.dim, second_dilation, self.groups, 'conv_block_5', h)
         h = BatchNorm(name='conv_block_6', axis_name=self.bn_axis_name)(h, use_running_average=not train)
 
         if self.in_dim is not None:
@@ -237,8 +235,8 @@ class GlobalGenerator(nn.Module):
         common = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
 
         # indices: 0 pad, 1 conv, 2 bn, 3 act
-        x = reflection_pad2d(x, 3)
-        x = Conv2d(self.ngf, kernel_size=7, padding=0, name='model_1', dtype=self.dtype)(x)
+        x = Conv2d(self.ngf, kernel_size=7, padding=3, padding_mode='reflect',
+                   name='model_1', dtype=self.dtype)(x)
         x = BatchNorm(name='model_2', axis_name=self.bn_axis_name)(x, use_running_average=not train)
         x = act(x)
         idx = 4
@@ -301,10 +299,9 @@ class GlobalGenerator(nn.Module):
             x = up_act(x)
             idx += 3
 
-        x = reflection_pad2d(x, 3)
         idx += 1
-        x = Conv2d(self.output_nc, kernel_size=7, padding=0, name=f'model_{idx}',
-                   dtype=self.dtype)(x)
+        x = Conv2d(self.output_nc, kernel_size=7, padding=3, padding_mode='reflect',
+                   name=f'model_{idx}', dtype=self.dtype)(x)
         if self.add_out_act:
             out_act = get_activation('tanh' if self.add_out_act is True else self.add_out_act)
             x = out_act(x.astype(jnp.float32))
@@ -335,8 +332,8 @@ class MultiDilatedGlobalGenerator(nn.Module):
         up_act = get_activation(self.up_activation)
         common = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
 
-        x = reflection_pad2d(x, 3)
-        x = Conv2d(self.ngf, kernel_size=7, padding=0, name='model_1', dtype=self.dtype)(x)
+        x = Conv2d(self.ngf, kernel_size=7, padding=3, padding_mode='reflect',
+                   name='model_1', dtype=self.dtype)(x)
         x = BatchNorm(name='model_2', axis_name=self.bn_axis_name)(x, use_running_average=not train)
         x = act(x)
         idx = 4
@@ -379,10 +376,9 @@ class MultiDilatedGlobalGenerator(nn.Module):
             x = up_act(x)
             idx += 3
 
-        x = reflection_pad2d(x, 3)
         idx += 1
-        x = Conv2d(self.output_nc, kernel_size=7, padding=0, name=f'model_{idx}',
-                   dtype=self.dtype)(x)
+        x = Conv2d(self.output_nc, kernel_size=7, padding=3, padding_mode='reflect',
+                   name=f'model_{idx}', dtype=self.dtype)(x)
         if self.add_out_act:
             out_act = get_activation('tanh' if self.add_out_act is True else self.add_out_act)
             x = out_act(x.astype(jnp.float32))

@@ -29,6 +29,84 @@ def _pair(v) -> Tuple[int, int]:
     return (v, v)
 
 
+def _reflect_rows(n: int, lo: int, hi: int):
+    """Indices lo..hi-1 reflected into [0, n-1] (torch 'reflect' semantics)."""
+    idx = []
+    for i in range(lo, hi):
+        j = i
+        if j < 0:
+            j = -j
+        if j >= n:
+            j = 2 * (n - 1) - j
+        idx.append(j)
+    return idx
+
+
+def _conv_valid(x, kernel, stride, dilation, groups):
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=stride, padding=((0, 0), (0, 0)),
+        rhs_dilation=dilation, feature_group_count=groups,
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+
+def _conv2d_reflect_decomposed(x, kernel, stride, padding, dilation, groups):
+    """Reflect-padded conv without materialising the padded tensor: the main
+    conv runs with (XLA-fused) zero padding — correct everywhere except a
+    p-wide output border — and the border rows/cols are recomputed from thin
+    input strips gathered with reflected indices.
+
+    MEASURED NEGATIVE RESULT (v5e, big-lama 512²): although reflect-pad
+    copies cost ~10% end to end (zero-pad-everything probe: 128.6 -> 142.7
+    img/s), this decomposition is SLOWER overall (93 img/s) — the
+    .at[].set() border writes materialise full-tensor dynamic-update-slices
+    and the strip convs don't pipeline. Kept (exact vs torch across
+    k/stride/dilation combinations — see tests) as the starting point for a
+    future Pallas halo-conv; NOT wired into conv2d."""
+    b, h, w, _ = x.shape
+    (ph, _), (pw, _) = padding
+    sh, sw = stride
+    dh, dw = dilation
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    eff_kh = dh * (kh - 1) + 1
+    eff_kw = dw * (kw - 1) + 1
+
+    out = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=stride, padding=padding,
+        rhs_dilation=dilation, feature_group_count=groups,
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    oh, ow = out.shape[1], out.shape[2]
+
+    # output row o reads input rows [o*s - p, o*s - p + eff_k - 1]; it needs a
+    # reflect correction when that range leaves [0, h-1]
+    n_top = min(oh, -(-ph // sh))
+    n_bot = max(0, min(oh, oh - 1 - (h + ph - eff_kh) // sh))
+    n_left = min(ow, -(-pw // sw))
+    n_right = max(0, min(ow, ow - 1 - (w + pw - eff_kw) // sw))
+
+    # full-width horizontal reflect pad for row strips (thin: eff_kh rows)
+    def row_strip(o):
+        rows = _reflect_rows(h, o * sh - ph, o * sh - ph + eff_kh)
+        strip = x[:, jnp.asarray(rows), :, :]
+        strip = pad2d(strip, ((0, 0), (pw, pw)), mode='reflect')
+        return _conv_valid(strip, kernel, (1, sw), dilation, groups)[:, 0]
+
+    def col_strip(o):
+        cols = _reflect_rows(w, o * sw - pw, o * sw - pw + eff_kw)
+        strip = x[:, :, jnp.asarray(cols), :]
+        strip = pad2d(strip, ((ph, ph), (0, 0)), mode='reflect')
+        return _conv_valid(strip, kernel, (sh, 1), dilation, groups)[:, :, 0]
+
+    for o in range(n_top):
+        out = out.at[:, o].set(row_strip(o))
+    for o in range(oh - n_bot, oh):
+        out = out.at[:, o].set(row_strip(o))
+    for o in range(n_left):
+        out = out.at[:, :, o].set(col_strip(o))
+    for o in range(ow - n_right, ow):
+        out = out.at[:, :, o].set(col_strip(o))
+    return out
+
+
 def conv2d(x, kernel, bias=None, stride=1, padding=0, dilation=1, groups=1,
            padding_mode='zeros'):
     """Functional 2-D convolution, NHWC input, HWIO kernel, torch semantics."""
@@ -39,7 +117,8 @@ def conv2d(x, kernel, bias=None, stride=1, padding=0, dilation=1, groups=1,
     if isinstance(padding[0], int):
         padding = ((padding[0], padding[0]), (padding[1], padding[1]))
 
-    if padding_mode != 'zeros' and any(p != 0 for pair in padding for p in pair):
+    has_pad = any(p != 0 for pair in padding for p in pair)
+    if padding_mode != 'zeros' and has_pad:
         x = pad2d(x, padding, mode=padding_mode)
         conv_padding = ((0, 0), (0, 0))
     else:
