@@ -22,6 +22,10 @@ from .pad import pad2d
 
 Dtype = Any
 
+# experimental: route eligible reflect-padded 3x3 convs through the Pallas
+# halo kernel (ops/pallas/halo_conv.py); toggled for benchmarking
+USE_HALO_CONV = False
+
 
 def _pair(v) -> Tuple[int, int]:
     if isinstance(v, (tuple, list)):
@@ -118,6 +122,15 @@ def conv2d(x, kernel, bias=None, stride=1, padding=0, dilation=1, groups=1,
         padding = ((padding[0], padding[0]), (padding[1], padding[1]))
 
     has_pad = any(p != 0 for pair in padding for p in pair)
+    if (USE_HALO_CONV and padding_mode == 'reflect'
+            and padding == ((1, 1), (1, 1)) and stride == (1, 1)
+            and dilation == (1, 1) and groups == 1
+            and kernel.shape[0] == 3 and kernel.shape[1] == 3
+            and jax.default_backend() not in ('cpu',)):
+        from .pallas.halo_conv import halo_conv3x3_reflect, halo_conv3x3_supported
+        if halo_conv3x3_supported(x.shape[1], x.shape[2], x.shape[3],
+                                  kernel.shape[3]):
+            return halo_conv3x3_reflect(x, kernel, bias=bias, dtype=x.dtype)
     if padding_mode != 'zeros' and has_pad:
         x = pad2d(x, padding, mode=padding_mode)
         conv_padding = ((0, 0), (0, 0))

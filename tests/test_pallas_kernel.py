@@ -57,3 +57,29 @@ def test_fused_fourier_unit_interpret_parity(rng):
 def test_supported_envelope():
     assert fourier_unit_supported(64, 64, 192)
     assert not fourier_unit_supported(512, 512, 192)
+
+
+def test_halo_conv3x3_interpret_parity(rng):
+    """Pallas halo conv (interpret mode on CPU) == reflect pad + conv."""
+    import functools
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from lama_tpu.ops.conv import conv2d
+    from lama_tpu.ops.pallas import halo_conv
+
+    b, h, w, c, co = 2, 16, 16, 8, 8
+    x = jnp.asarray(rng.rand(b, h, w, c).astype(np.float32))
+    k = jnp.asarray((rng.randn(3, 3, c, co) * 0.1).astype(np.float32))
+    ref = conv2d(x, k, padding=1, padding_mode='reflect')
+    out = pl.pallas_call(
+        functools.partial(halo_conv._kernel, dtype=jnp.float32),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, h, w, co), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, co), x.dtype),
+        interpret=True)(x, k)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
