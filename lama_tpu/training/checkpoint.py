@@ -90,10 +90,27 @@ class CheckpointManager:
         return p if os.path.exists(p) else None
 
 
+def restore_pytree_numpy(path: str):
+    """Restore any checkpoint as host numpy without a template (derives the
+    structure from checkpoint metadata) — placement-agnostic, so CPU-written
+    checkpoints load on TPU and vice versa."""
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    meta = ckptr.metadata(path)
+    tree = meta
+    if hasattr(tree, 'item_metadata'):
+        tree = tree.item_metadata
+    if hasattr(tree, 'tree'):
+        tree = tree.tree
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+    return ckptr.restore(path, restore_args=restore_args)
+
+
 def load_generator_variables(path: str, template: Dict, use_ema: bool = True) -> Dict:
     """Load generator {'params','batch_stats'} from either a deployment export
     (generator-only) or a full TrainState checkpoint (bin/train.py output)."""
-    raw = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+    raw = restore_pytree_numpy(path)
     if 'params' in raw:
         src = {'params': raw['params'], 'batch_stats': raw.get('batch_stats', {})}
     elif 'g_params' in raw:
