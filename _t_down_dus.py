@@ -1,0 +1,43 @@
+import sys, time
+import numpy as np
+import jax
+import jax.numpy as jnp
+from lama_tpu.ops.conv import conv2d
+
+B, H, W, C, CO = 16, 512, 512, 64, 128
+key = jax.random.PRNGKey(0)
+x = jax.random.uniform(key, (B, H, W, C), jnp.float32).astype(jnp.bfloat16)
+k = (jax.random.normal(jax.random.PRNGKey(1), (3, 3, C, CO), jnp.float32) * 0.05).astype(jnp.bfloat16)
+
+def conv(v, pad, stride=(2, 2)):
+    return jax.lax.conv_general_dilated(
+        v, k, window_strides=stride, padding=pad,
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+def dus_reflect(v):
+    p = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)))   # Pad HLO (fused copy)
+    p = p.at[:, 0].set(p[:, 2])
+    p = p.at[:, H + 1].set(p[:, H - 1])
+    p = p.at[:, :, 0].set(p[:, :, 2])
+    p = p.at[:, :, W + 1].set(p[:, :, W - 1])
+    return conv(p, ((0, 0), (0, 0)))
+
+def timed(op, xin, iters):
+    @jax.jit
+    def f(x0):
+        def body(carry, _):
+            o = op(x0 + carry.astype(x0.dtype))
+            return jnp.sum(o.astype(jnp.float32)) * 0.0, None
+        return jax.lax.scan(body, jnp.float32(0.0), None, length=iters)[0]
+    np.asarray(f(xin))
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter(); np.asarray(f(xin)); t1 = time.perf_counter()
+        best = min(best, t1 - t0)
+    return best
+
+ref = conv2d(x, k, stride=2, padding=1, padding_mode='reflect')
+err = float(jnp.abs(dus_reflect(x).astype(jnp.float32) - ref.astype(jnp.float32)).max())
+print(f'dus_reflect err {err}', flush=True)
+if 'time' in sys.argv:
+    print(f'dus_reflect: {(timed(dus_reflect, x, 25) - timed(dus_reflect, x, 5)) / 20 * 1e3:.3f} ms', flush=True)

@@ -1,0 +1,55 @@
+import sys, time
+import numpy as np
+import jax
+import jax.numpy as jnp
+from lama_tpu.ops.conv import conv2d
+from lama_tpu.ops.pad import pad2d
+
+B, H, W, C, CO = 16, 512, 512, 64, 128
+key = jax.random.PRNGKey(0)
+x = jax.random.uniform(key, (B, H, W, C), jnp.float32).astype(jnp.bfloat16)
+k = (jax.random.normal(jax.random.PRNGKey(1), (3, 3, C, CO), jnp.float32) * 0.05).astype(jnp.bfloat16)
+
+def conv(v, pad, stride=2):
+    return jax.lax.conv_general_dilated(
+        v, k, window_strides=(stride, stride), padding=pad,
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+def materialized_zero(v):
+    p = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return conv(p, ((0, 0), (0, 0)))
+
+def colreflect_rowfix(v):
+    # reflect cols via concat; rows: zero-pad top fused into conv (wrong only
+    # for out row 0), then recompute row 0 from a 2-row strip and concat.
+    pc = jnp.concatenate([v[:, :, 1:2], v, v[:, :, W - 2:W - 1]], axis=2)
+    main = conv(pc, ((1, 0), (0, 0)))               # rows: top zero pad
+    strip = jnp.concatenate([pc[:, 1:2], pc[:, 0:2]], axis=1)  # rows 1,0,1
+    row0 = conv(strip, ((0, 0), (0, 0)))
+    return jnp.concatenate([row0, main[:, 1:]], axis=1)
+
+def timed(op, xin, iters):
+    @jax.jit
+    def f(x0):
+        def body(carry, _):
+            o = op(x0 + carry.astype(x0.dtype))
+            return jnp.sum(o.astype(jnp.float32)) * 0.0, None
+        return jax.lax.scan(body, jnp.float32(0.0), None, length=iters)[0]
+    np.asarray(f(xin))
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter(); np.asarray(f(xin)); t1 = time.perf_counter()
+        best = min(best, t1 - t0)
+    return best
+
+def slope(op):
+    return (timed(op, x, 25) - timed(op, x, 5)) / 20 * 1e3
+
+ref = conv2d(x, k, stride=2, padding=1, padding_mode='reflect')
+err = float(jnp.abs(colreflect_rowfix(x).astype(jnp.float32) - ref.astype(jnp.float32)).max())
+print(f'colreflect_rowfix err {err}', flush=True)
+which = sys.argv[1:]
+if 'mz' in which:
+    print(f'materialized zero: {slope(materialized_zero):.3f} ms', flush=True)
+if 'cr' in which:
+    print(f'colreflect_rowfix: {slope(colreflect_rowfix):.3f} ms', flush=True)

@@ -1,0 +1,33 @@
+import time
+import numpy as np
+import jax
+import jax.numpy as jnp
+from lama_tpu.ops.conv import conv2d
+from lama_tpu.ops.pallas.reflect_conv import reflect_out_conv7x7
+
+B, H, W, C, CO = 16, 512, 512, 64, 3
+key = jax.random.PRNGKey(0)
+x = jax.random.uniform(key, (B, H, W, C), jnp.float32).astype(jnp.bfloat16)
+k = (jax.random.normal(jax.random.PRNGKey(1), (7, 7, C, CO), jnp.float32) * 0.05).astype(jnp.bfloat16)
+bias = jax.random.normal(jax.random.PRNGKey(2), (CO,), jnp.float32).astype(jnp.bfloat16)
+
+err = jnp.abs(reflect_out_conv7x7(x, k, bias=bias).astype(jnp.float32)
+              - conv2d(x, k, bias=bias, padding=3, padding_mode='reflect').astype(jnp.float32)).max()
+print('out7 maxerr:', float(err), flush=True)
+
+def timed(op, xin, iters):
+    @jax.jit
+    def f(x0):
+        def body(carry, _):
+            o = op(x0 + carry.astype(x0.dtype))
+            return jnp.sum(o.astype(jnp.float32)) * 0.0, None
+        return jax.lax.scan(body, jnp.float32(0.0), None, length=iters)[0]
+    np.asarray(f(xin))
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter(); np.asarray(f(xin)); t1 = time.perf_counter()
+        best = min(best, t1 - t0)
+    return best
+
+op = lambda v: reflect_out_conv7x7(v, k, bias=bias)
+print(f'out7 pallas: {(timed(op, x, 15) - timed(op, x, 3)) / 12 * 1e3:.3f} ms', flush=True)

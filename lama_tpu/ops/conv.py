@@ -26,6 +26,28 @@ Dtype = Any
 # halo kernel (ops/pallas/halo_conv.py); toggled for benchmarking
 USE_HALO_CONV = False
 
+# route eligible reflect-padded 3x3 convs through the Pallas kernels in
+# ops/pallas/reflect_conv.py (im2col for s1 C=Co=128, width-pair packing for
+# s2) — these build the halo in VMEM instead of materialising the padded
+# tensor in HBM (measured: matches XLA's zero-pad conv speed; the XLA
+# reflect path costs a full padded-tensor round trip on top).
+USE_PALLAS_REFLECT = True
+# per-kernel toggles. S2 (stride-2 width-pair kernel) is OFF: although it
+# beats XLA's reflect conv in isolated micro-benchmarks (4.0 vs 8.2 ms for
+# down1 @512² — XLA's conv collapses when fed a materialised concat), the
+# END-TO-END big-lama bench regresses 129.3 -> 111.9 img/s with it on: in
+# the real graph XLA fuses the reflect concat with the producing BN/ReLU and
+# the conv runs near zero-pad speed, while the Pallas call pays the ~170 GB/s
+# single-stream DMA ceiling plus fusion-boundary round trips. Keep for
+# multi-op fusion experiments; don't enable on shape gates alone.
+USE_PALLAS_REFLECT_S1 = True
+USE_PALLAS_REFLECT_S2 = False
+
+# perf-probe only (NOT correctness-preserving): when set to an int, reflect
+# pads on inputs with H >= this threshold are replaced by fused zero pads —
+# used to localise where the zero-pad-everything +11% headroom lives.
+PAD_PROBE_ZERO_MIN_H = None
+
 
 def _pair(v) -> Tuple[int, int]:
     if isinstance(v, (tuple, list)):
@@ -122,6 +144,21 @@ def conv2d(x, kernel, bias=None, stride=1, padding=0, dilation=1, groups=1,
         padding = ((padding[0], padding[0]), (padding[1], padding[1]))
 
     has_pad = any(p != 0 for pair in padding for p in pair)
+    if (USE_PALLAS_REFLECT and padding_mode == 'reflect'
+            and padding == ((1, 1), (1, 1)) and dilation == (1, 1)
+            and groups == 1 and kernel.shape[0] == 3 and kernel.shape[1] == 3
+            and x.dtype == jnp.bfloat16
+            and jax.default_backend() not in ('cpu',)):
+        from .pallas import reflect_conv as rc
+        b_, h_, w_, c_ = x.shape
+        co_ = kernel.shape[3]
+        bias_ = bias if bias is not None else jnp.zeros((co_,), x.dtype)
+        if (USE_PALLAS_REFLECT_S1 and stride == (1, 1)
+                and rc.reflect_conv3x3_cols_supported(h_, w_, c_, co_)):
+            return rc.reflect_conv3x3_cols_vjp(x, kernel, bias_)
+        if (USE_PALLAS_REFLECT_S2 and stride == (2, 2)
+                and rc.reflect_down_conv3x3_supported(h_, w_, c_, co_)):
+            return rc.reflect_down_conv3x3_vjp(x, kernel, bias_)
     if (USE_HALO_CONV and padding_mode == 'reflect'
             and padding == ((1, 1), (1, 1)) and stride == (1, 1)
             and dilation == (1, 1) and groups == 1
@@ -131,6 +168,9 @@ def conv2d(x, kernel, bias=None, stride=1, padding=0, dilation=1, groups=1,
         if halo_conv3x3_supported(x.shape[1], x.shape[2], x.shape[3],
                                   kernel.shape[3]):
             return halo_conv3x3_reflect(x, kernel, bias=bias, dtype=x.dtype)
+    if (PAD_PROBE_ZERO_MIN_H is not None and padding_mode == 'reflect'
+            and x.shape[1] >= PAD_PROBE_ZERO_MIN_H):
+        padding_mode = 'zeros'
     if padding_mode != 'zeros' and has_pad:
         x = pad2d(x, padding, mode=padding_mode)
         conv_padding = ((0, 0), (0, 0))

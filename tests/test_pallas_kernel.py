@@ -59,6 +59,87 @@ def test_supported_envelope():
     assert not fourier_unit_supported(512, 512, 192)
 
 
+def test_reflect_conv3x3_cols_interpret_parity(rng):
+    """im2col reflect conv (interpret mode) == reflect pad + conv, with and
+    without bias."""
+    from lama_tpu.ops.conv import conv2d
+    from lama_tpu.ops.pallas.reflect_conv import (
+        reflect_conv3x3_cols, reflect_conv3x3_cols_supported)
+
+    assert reflect_conv3x3_cols_supported(64, 64, 128, 128)
+    assert not reflect_conv3x3_cols_supported(64, 64, 384, 128)
+    assert not reflect_conv3x3_cols_supported(512, 512, 128, 128)
+
+    x = jnp.asarray(rng.rand(2, 16, 16, 128).astype(np.float32))
+    k = jnp.asarray((rng.randn(3, 3, 128, 128) * 0.05).astype(np.float32))
+    bias = jnp.asarray(rng.randn(128).astype(np.float32))
+    for b in (None, bias):
+        ref = conv2d(x, k, bias=b, padding=1, padding_mode='reflect')
+        out = reflect_conv3x3_cols(x, k, bias=b, dtype=jnp.float32,
+                                   interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_reflect_down_conv3x3_interpret_parity(rng):
+    """width-pair stride-2 reflect conv (interpret mode) == reflect pad +
+    strided conv across the downsample shapes (incl. multi-row-tile H=128
+    and the single-tile H=64 case)."""
+    from lama_tpu.ops.conv import conv2d
+    from lama_tpu.ops.pallas.reflect_conv import (
+        reflect_down_conv3x3, reflect_down_conv3x3_supported)
+
+    assert reflect_down_conv3x3_supported(512, 512, 64, 128)
+    assert not reflect_down_conv3x3_supported(512, 512, 4, 128)   # 2C not 128k
+    assert not reflect_down_conv3x3_supported(511, 512, 64, 128)  # odd H
+
+    for (h, w, c, co) in [(128, 128, 64, 128), (64, 64, 128, 256),
+                          (64, 32, 256, 512)]:
+        x = jnp.asarray(rng.rand(2, h, w, c).astype(np.float32))
+        k = jnp.asarray((rng.randn(3, 3, c, co) * 0.05).astype(np.float32))
+        bias = jnp.asarray(rng.randn(co).astype(np.float32))
+        for b in (None, bias):
+            ref = conv2d(x, k, bias=b, stride=2, padding=1,
+                         padding_mode='reflect')
+            out = reflect_down_conv3x3(x, k, bias=b, dtype=jnp.float32,
+                                       interpret=True)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=1e-4, atol=1e-5)
+
+
+def test_reflect_conv_custom_vjp(rng):
+    """Gradients through the custom_vjp wrappers == gradients through the
+    XLA reflect path (x, kernel, and bias grads; both strides)."""
+    import functools
+    from lama_tpu.ops.conv import conv2d
+    from lama_tpu.ops.pallas import reflect_conv as rc
+
+    for stride, fn in [
+            (1, functools.partial(rc.reflect_conv3x3_cols,
+                                  dtype=jnp.float32, interpret=True)),
+            (2, functools.partial(rc.reflect_down_conv3x3,
+                                  dtype=jnp.float32, interpret=True))]:
+        wrapped = rc._diff_wrap(lambda x, k, bias, fn=fn: fn(x, k, bias=bias),
+                                stride=stride)
+        c, co = 128, 128 if stride == 1 else 256
+        x = jnp.asarray(rng.rand(2, 16, 16, c).astype(np.float32))
+        k = jnp.asarray((rng.randn(3, 3, c, co) * 0.05).astype(np.float32))
+        bias = jnp.asarray(rng.randn(co).astype(np.float32))
+
+        def loss_pallas(x, k, b):
+            return jnp.sum(jnp.tanh(wrapped(x, k, b)))
+
+        def loss_xla(x, k, b):
+            return jnp.sum(jnp.tanh(conv2d(x, k, bias=b, stride=stride,
+                                           padding=1, padding_mode='reflect')))
+
+        gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(x, k, bias)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2))(x, k, bias)
+        for a, b_ in zip(gp, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-4, atol=1e-5)
+
+
 def test_halo_conv3x3_interpret_parity(rng):
     """Pallas halo conv (interpret mode on CPU) == reflect pad + conv."""
     import functools
