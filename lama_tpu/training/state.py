@@ -46,11 +46,16 @@ class TrainState(struct.PyTreeNode):
 
 
 def create_train_state(rng, generator, discriminator, sample_batch,
-                       g_tx, d_tx, use_ema: bool = True):
+                       g_tx, d_tx, use_ema: bool = True, gen_input_fn=None):
     """Initialise all parameters/stats/optimizer states from a sample batch
-    dict with NHWC 'image' (B,H,W,3) and 'mask' (B,H,W,1)."""
+    dict with NHWC 'image' (B,H,W,3) and 'mask' (B,H,W,1). `gen_input_fn`
+    overrides the default masked+mask-concat input construction (needed when
+    add_noise_kwargs widens the generator input)."""
     img, mask = sample_batch['image'], sample_batch['mask']
-    masked = jnp.concatenate([img * (1 - mask), mask], axis=-1)
+    if gen_input_fn is not None:
+        masked = gen_input_fn(img, mask)
+    else:
+        masked = jnp.concatenate([img * (1 - mask), mask], axis=-1)
     g_rng, d_rng = jax.random.split(rng)
     g_vars = generator.init(g_rng, masked, train=False)
     d_vars = discriminator.init(d_rng, img, train=False)

@@ -110,11 +110,39 @@ class InpaintingTrainer:
         self.concat_mask = bool(tm.get('concat_mask', True))
         self.store_discr_outputs_for_vis = bool(tm.get('store_discr_outputs_for_vis', False))
         self.visualize_each_iters = int(tm.get('visualize_each_iters', 1000))
+        self.image_to_discriminator = str(tm.get('image_to_discriminator',
+                                                 'predicted_image'))
 
         self.refine_mask_for_losses = None
         dw_kwargs = tm.get('distance_weighter_kwargs', None)
         if dw_kwargs:
             self.refine_mask_for_losses = make_mask_distance_weighter(**dict(dw_kwargs))
+        self.distance_weighted_mask_for_discr = bool(
+            tm.get('distance_weighted_mask_for_discr', False))
+
+        # train-time scale curriculum (reference trainers/default.py:48-54):
+        # rescale ramp + constant-area crop run on HOST before device_put —
+        # the jitted step stays static-shaped per size; a LadderRamp yields a
+        # bounded set of sizes, so the compile count is bounded too.
+        rs_kwargs = tm.get('rescale_scheduler_kwargs', None)
+        from ..utils.ramps import get_ramp
+        self.rescale_size_getter = get_ramp(**dict(rs_kwargs)) if rs_kwargs else None
+        cac = tm.get('const_area_crop_kwargs', None)
+        self.const_area_crop_kwargs = dict(cac) if cac else None
+        self._host_rng = np.random.RandomState(int(config.get('seed', 0) or 0))
+
+        # fake-fakes discriminator regularisation (default.py:43-45)
+        fake_fakes_proba = float(tm.get('fake_fakes_proba', 0) or 0)
+        fake_fakes_gen = None
+        if fake_fakes_proba > 1e-3:
+            from ..models.fake_fakes import FakeFakesGenerator
+            fake_fakes_gen = FakeFakesGenerator(
+                **dict(tm.get('fake_fakes_generator_kwargs', None) or {}))
+
+        # multiscale input noise (default.py:36-37,61-65)
+        ank = tm.get('add_noise_kwargs', None)
+        self.add_noise_kwargs = dict(ank) if ank else None
+        self.noise_fill_hole = bool(tm.get('noise_fill_hole', False))
 
         # ---- optimizers (+ grad clip from trainer kwargs)
         clip = _get(config, 'trainer.kwargs.gradient_clip_val', None)
@@ -131,7 +159,13 @@ class InpaintingTrainer:
             self.generator, self.discriminator, self.adversarial,
             self.g_tx, self.d_tx, loss_config=loss_config, ema=ema,
             perceptual_fn=perceptual_fn, vgg_perceptual_fn=vgg_perceptual_fn,
-            concat_mask=self.concat_mask)
+            concat_mask=self.concat_mask,
+            image_to_discriminator=self.image_to_discriminator,
+            distance_weighter=self.refine_mask_for_losses,
+            distance_weighted_mask_for_discr=self.distance_weighted_mask_for_discr,
+            fake_fakes_proba=fake_fakes_proba, fake_fakes_gen=fake_fakes_gen,
+            add_noise_kwargs=self.add_noise_kwargs,
+            noise_fill_hole=self.noise_fill_hole)
 
         # ---- mesh: largest device count that divides the global batch
         axes = tuple(_get(config, 'trainer.mesh.axes', ['data']))
@@ -146,12 +180,17 @@ class InpaintingTrainer:
         self.mesh = make_mesh(axes, devices=devices[:n_dev])
         self.num_devices = n_dev
 
-        # ---- evaluators
+        # ---- evaluators: val + visual_test + per-dataset extra_val
+        # (reference trainers/base.py:75-90,124-161)
         ev_kwargs = dict(config.get('evaluator', {}) or {})
         ev_kwargs.pop('kind', None)
         ev_kwargs.pop('inpainted_key', None)
         self.val_evaluator = make_evaluator(**ev_kwargs)
         self.test_evaluator = make_evaluator(**ev_kwargs)
+        extra_val = _get(config, 'data.extra_val', None) or {}
+        self.extra_val_titles = list(extra_val)
+        self.extra_evaluators = {k: make_evaluator(**ev_kwargs)
+                                 for k in self.extra_val_titles}
 
         # ---- visualizer
         vis_kwargs = dict(config.get('visualizer', {}) or {'kind': 'noop'})
@@ -198,7 +237,10 @@ class InpaintingTrainer:
         return make_default_train_dataloader(**kwargs)
 
     def val_dataloader(self, key='val'):
-        kwargs = dict(self.config.data[key])
+        if key in ('val', 'visual_test'):
+            kwargs = dict(self.config.data[key])
+        else:  # extra_val dataset title (reference base.py:138-143)
+            kwargs = dict(self.config.data.extra_val[key])
         dl_kwargs = dict(kwargs.pop('dataloader_kwargs', {}))
         dl_kwargs.setdefault('batch_size', self.config.data.get('val_batch_size', 1))
         dl_kwargs.pop('shuffle', None)
@@ -211,20 +253,70 @@ class InpaintingTrainer:
     def init_state(self, sample_batch, seed=0):
         batch = {'image': jnp.asarray(sample_batch['image']),
                  'mask': jnp.asarray(sample_batch['mask'])}
+        gen_input_fn = None
+        if self.add_noise_kwargs:
+            gen_input_fn = lambda img, mask: self.step_fn._gen_input(
+                img, mask, rng=jax.random.PRNGKey(0))
         state = create_train_state(jax.random.PRNGKey(seed), self.generator,
                                    self.discriminator, batch, self.g_tx, self.d_tx,
-                                   use_ema=True)
+                                   use_ema=True, gen_input_fn=gen_input_fn)
         self.jit_step, self.state = shard_train_step(self.step_fn, self.mesh, state)
         self._eval_forward = jax.jit(self._eval_forward_impl)
+        self._discr_forward = jax.jit(self._discr_forward_impl)
         return self.state
 
     def _eval_forward_impl(self, g_params, g_stats, image, mask):
-        masked = image * (1 - mask)
-        x = jnp.concatenate([masked, mask], axis=-1) if self.concat_mask else masked
+        # build the generator input through the step's _gen_input so noise
+        # configs keep a consistent channel count; eval noise uses a fixed key
+        # (deterministic validation — divergence from the reference's fresh
+        # draw per forward, documented here).
+        rng = jax.random.PRNGKey(0) if self.add_noise_kwargs else None
+        x = self.step_fn._gen_input(image, mask, rng=rng)
         pred = self.generator.apply({'params': g_params, 'batch_stats': g_stats},
                                     x, train=False)
         inpainted = mask * pred + (1 - mask) * image
         return pred.astype(jnp.float32), inpainted.astype(jnp.float32)
+
+    def _discr_forward_impl(self, d_params, d_stats, image, pred):
+        """Discriminator score maps nearest-upsampled to image size for
+        visualization (reference base.py:282-288 store_discr_outputs).
+        Eval-mode BN so visualization never perturbs running stats."""
+        from ..ops.resize import interpolate
+        size = image.shape[1:3]
+        real_out, _ = self.discriminator.apply(
+            {'params': d_params, 'batch_stats': d_stats}, image, train=False)
+        fake_out, _ = self.discriminator.apply(
+            {'params': d_params, 'batch_stats': d_stats}, pred, train=False)
+        real_out = interpolate(real_out.astype(jnp.float32), size=size, mode='nearest')
+        fake_out = interpolate(fake_out.astype(jnp.float32), size=size, mode='nearest')
+        return real_out, fake_out
+
+    # ----------------------------------------------------- host-side curricula
+    def _prepare_train_batch(self, batch):
+        """Train-time rescale ramp + constant-area crop, on host (numpy/cv2)
+        before device transfer (reference trainers/default.py:48-54 does both
+        on device; host-side keeps the jitted step static-shaped)."""
+        if self.rescale_size_getter is None and self.const_area_crop_kwargs is None:
+            return batch
+        import cv2
+        image, mask = batch['image'], batch['mask']
+        if self.rescale_size_getter is not None:
+            cur = int(self.rescale_size_getter(self.global_step))
+            image = np.stack([cv2.resize(im, (cur, cur), interpolation=cv2.INTER_LINEAR)
+                              for im in np.asarray(image)])
+            mask = np.stack([cv2.resize(m[..., 0], (cur, cur),
+                                        interpolation=cv2.INTER_NEAREST)[..., None]
+                             for m in np.asarray(mask)])
+        if self.const_area_crop_kwargs is not None:
+            from ..data.datasets import make_constant_area_crop_params
+            y, x, h, w = make_constant_area_crop_params(
+                img_height=image.shape[1], img_width=image.shape[2],
+                rng=self._host_rng, **self.const_area_crop_kwargs)
+            image = image[:, y:y + h, x:x + w]
+            mask = mask[:, y:y + h, x:x + w]
+        out = dict(batch)
+        out['image'], out['mask'] = image, mask
+        return out
 
     # ------------------------------------------------------------------- fit
     def fit(self, resume_from: Optional[str] = None):
@@ -246,6 +338,7 @@ class InpaintingTrainer:
             for batch_i, batch in enumerate(train_loader):
                 if self.limit_train_batches and batch_i >= int(self.limit_train_batches):
                     break
+                batch = self._prepare_train_batch(batch)
                 device_batch = {
                     'image': jax.device_put(batch['image'], bsh),
                     'mask': jax.device_put(batch['mask'], bsh),
@@ -277,10 +370,27 @@ class InpaintingTrainer:
 
     # ------------------------------------------------------------- validation
     def validate(self, epoch: int) -> Dict[str, float]:
+        """val + visual_test + per-dataset extra_val evaluation loops, each
+        producing <prefix>_<metric>_<bin>_<stat> keys (reference
+        trainers/base.py:124-161,180-222: dataloader_idx 0 = 'val',
+        1 = 'test' i.e. visual_test, 2+ = extra_val titles)."""
+        out = self._run_eval_loop(epoch, 'val', self.val_evaluator, prefix='val')
+        if _get(self.config, 'data.visual_test', None):
+            out.update(self._run_eval_loop(epoch, 'visual_test',
+                                           self.test_evaluator, prefix='test',
+                                           visualize_all=True))
+        for title in self.extra_val_titles:
+            out.update(self._run_eval_loop(epoch, title,
+                                           self.extra_evaluators[title],
+                                           prefix=f'extra_val_{title}'))
+        return out
+
+    def _run_eval_loop(self, epoch: int, data_key: str, evaluator,
+                       prefix: str, visualize_all: bool = False) -> Dict[str, float]:
         try:
-            loader = self.val_dataloader('val')
+            loader = self.val_dataloader(data_key)
         except Exception as e:
-            LOGGER.warning(f'No validation data ({e}); skipping validation')
+            LOGGER.warning(f'No {data_key} data ({e}); skipping')
             return {}
         g_params = jax.device_get(self.state.g_params)
         g_stats = jax.device_get(self.state.g_stats)
@@ -294,32 +404,34 @@ class InpaintingTrainer:
             ev_batch = {'image': np.asarray(image), 'mask': np.asarray(mask),
                         'predicted_image': np.asarray(pred),
                         'inpainted': np.asarray(inpainted)}
-            states.append(self.val_evaluator.process_batch(ev_batch))
-            if batch_i == 0 and jax.process_index() == 0:
-                self._visualize(epoch, batch_i, ev_batch, suffix='_val')
+            states.append(evaluator.process_batch(ev_batch))
+            # reference _do_step: mode 'test' (visual_test) visualizes every
+            # batch; other modes only on the visualize_each_iters cadence
+            if (batch_i == 0 or visualize_all) and jax.process_index() == 0:
+                self._visualize(epoch, batch_i, ev_batch, suffix=f'_{prefix}')
         if not states:
             return {}
-        results = self.val_evaluator.evaluation_end(states=states)
-        # tuple keys -> val_<metric>_<group>_<stat> (reference base.py:196-222)
+        results = evaluator.evaluation_end(states=states)
+        # tuple keys -> <prefix>_<metric>_<group>_<stat> (base.py:196-222)
         out = {}
         for k, v in results.items():
             name, group = k
             group = group.replace('%', '').replace('-', '_')
             for stat, val in v.items():
-                out[f'val_{name}_{group}_{stat}'] = float(val)
-        LOGGER.info(f'epoch {epoch} validation: ' +
+                out[f'{prefix}_{name}_{group}_{stat}'] = float(val)
+        LOGGER.info(f'epoch {epoch} {data_key}: ' +
                     ' '.join(f'{k}={v:.4f}' for k, v in out.items() if 'total' in k))
-        self._log_validation_table(epoch, results)
+        self._log_validation_table(epoch, results, title=data_key)
         return out
 
-    def _log_validation_table(self, epoch, results):
+    def _log_validation_table(self, epoch, results, title='val'):
         """Pretty-print the metric × mask-area-bin table each validation
         epoch (reference base.py:185-194 pandas reports)."""
         try:
             import pandas as pd
             table = pd.DataFrame(results).stack(future_stack=True).unstack(level=0)
             table.dropna(axis=1, how='all', inplace=True)
-            LOGGER.info(f'Validation metrics after epoch #{epoch}:\n{table}')
+            LOGGER.info(f'{title} metrics after epoch #{epoch}:\n{table}')
         except Exception as e:
             LOGGER.debug(f'validation table formatting failed: {e}')
 
@@ -335,6 +447,18 @@ class InpaintingTrainer:
                     jax.device_get(self.state.g_stats), image, mask)
                 vis_batch['predicted_image'] = np.asarray(pred)
                 vis_batch['inpainted'] = np.asarray(inpainted)
+            if self.store_discr_outputs_for_vis and self.state is not None:
+                # reference base.py:282-288: discr score maps on real/pred,
+                # nearest-upsampled, into the sample grids
+                real_out, fake_out = self._discr_forward(
+                    jax.device_get(self.state.d_params),
+                    jax.device_get(self.state.d_stats),
+                    jnp.asarray(vis_batch['image']),
+                    jnp.asarray(vis_batch['predicted_image']))
+                vis_batch['discr_output_real'] = np.asarray(real_out)
+                vis_batch['discr_output_fake'] = np.asarray(fake_out)
+                vis_batch['discr_output_diff'] = (vis_batch['discr_output_real']
+                                                  - vis_batch['discr_output_fake'])
             self.visualizer(epoch, batch_i, vis_batch, suffix=suffix)
         except Exception as e:
             LOGGER.warning(f'Visualization failed: {e}')

@@ -74,6 +74,54 @@ def test_trainer_fit_and_artifacts(synth_data):
     assert np.isfinite(records[0]['value'])
 
 
+def test_trainer_visual_test_extra_val_and_discr_vis(synth_data):
+    """The full validation fan-out (reference base.py:124-161): val +
+    visual_test + extra_val datasets each produce prefixed metrics, and
+    store_discr_outputs_for_vis adds discriminator maps to the sample grids."""
+    from lama_tpu.data.io import save_image
+    rng = np.random.RandomState(1)
+    for d in ('visual_test', 'extra1'):
+        os.makedirs(synth_data / d, exist_ok=True)
+        for i in range(2):
+            img = rng.rand(32, 32, 3).astype(np.float32)
+            mask = np.zeros((32, 32, 1), np.float32)
+            mask[8:20, 8:20] = 1
+            save_image(str(synth_data / d / f'v{i}.png'), img)
+            save_image(str(synth_data / d / f'v{i}_mask.png'), mask)
+
+    trainer, run_dir = make_trainer(synth_data, 'run_vt')
+    # inject extra_val + discr vis + directory visualizer post-compose
+    trainer.config.data['visual_test'] = dict(
+        trainer.config.data.val, indir=str(synth_data / 'visual_test'))
+    trainer.config.data['extra_val'] = {
+        'e1': dict(trainer.config.data.val, indir=str(synth_data / 'extra1'))}
+    trainer.extra_val_titles = ['e1']
+    from lama_tpu.evaluation import make_evaluator
+    trainer.extra_evaluators = {'e1': make_evaluator(lpips=False, fid=False,
+                                                     integral_kind=None)}
+    trainer.store_discr_outputs_for_vis = True
+    from lama_tpu.training.visualizers import DirectoryVisualizer
+    trainer.visualizer = DirectoryVisualizer(
+        outdir=os.path.join(run_dir, 'samples'),
+        key_order=['image', 'predicted_image', 'discr_output_fake',
+                   'discr_output_real', 'inpainted'],
+        rescale_keys=['discr_output_fake', 'discr_output_real'])
+
+    trainer.fit()
+    keys = trainer.validate(epoch=0)
+    assert any(k.startswith('val_ssim') for k in keys)
+    assert any(k.startswith('test_ssim') for k in keys)
+    assert any(k.startswith('extra_val_e1_ssim') for k in keys)
+    # discr maps reached the grids: sample width = 5 panels
+    sample_dirs = [d for d in os.listdir(os.path.join(run_dir, 'samples'))
+                   if d.startswith('epoch')]
+    assert sample_dirs
+    import cv2 as _cv2
+    any_dir = os.path.join(run_dir, 'samples', sorted(sample_dirs)[-1])
+    img = _cv2.imread(os.path.join(any_dir, sorted(os.listdir(any_dir))[0]))
+    assert img.shape[1] == 5 * 32
+
+
 def test_trainer_resume(synth_data):
     trainer, run_dir = make_trainer(synth_data, 'run_a')
     trainer.fit()
