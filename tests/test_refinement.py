@@ -73,3 +73,55 @@ def test_refine_predict_px_budget_rescale(rng):
                          lr=0.002, min_side=32, max_scales=2, px_budget=64 * 64)
     # px budget forces ~64x64 output
     assert np.prod(out.shape[1:3]) <= 64 * 64 * 1.1
+
+
+def test_refine_scale_matches_reference_iteration_structure(rng):
+    """Trajectory equivalence with the reference refiner's loop structure
+    (reference refinement.py:139-170): `for idi in range(n_iters)` computes a
+    forward each iteration but gates the Adam update on `idi < n_iters - 1`,
+    i.e. n_iters-1 updates followed by one final forward. Our jitted
+    `fori_loop(0, n_iters - 1)` + final rear() must produce the same output
+    as an eager transliteration of that exact loop."""
+    import optax
+
+    from lama_tpu.evaluation.refinement import (_ellipse_kernel, _refine_scale,
+                                                _scale_loss)
+
+    gen = FFCResNetGenerator(**TINY)
+    img = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32))
+    mask = jnp.zeros((1, 32, 32, 1), jnp.float32).at[:, 8:24, 8:24].set(1.0)
+    ref = jnp.asarray(rng.rand(1, 16, 16, 3).astype(np.float32))
+    x = jnp.concatenate([img * (1 - mask), mask], axis=-1)
+    variables = gen.init(jax.random.PRNGKey(0), x, train=False)
+    ekernel = _ellipse_kernel(3)
+    n_iters, lr = 5, 2e-3
+    orig_shape = (32, 32)
+
+    ours = _refine_scale(gen, variables, img, mask, ref, orig_shape,
+                         n_iters, lr, ekernel)
+
+    # eager transliteration of the reference loop
+    mask3 = jnp.repeat(mask, 3, axis=-1)
+
+    def rear(z):
+        return gen.apply(variables, z, train=False, stage='rear')
+
+    def loss_fn(z):
+        return _scale_loss(rear(z).astype(jnp.float32), img, mask3, ref,
+                           orig_shape, ekernel)
+
+    z = jax.tree.map(jax.lax.stop_gradient,
+                     gen.apply(variables, x, train=False, stage='front'))
+    tx = optax.adam(lr)
+    opt_state = tx.init(z)
+    pred = None
+    for idi in range(n_iters):
+        pred = rear(z)
+        if idi < n_iters - 1:
+            grads = jax.grad(loss_fn)(z)
+            updates, opt_state = tx.update(grads, opt_state, z)
+            z = optax.apply_updates(z, updates)
+    expected = mask3 * pred.astype(jnp.float32) + (1 - mask3) * img
+
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(expected),
+                               atol=2e-5)
