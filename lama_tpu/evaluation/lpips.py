@@ -34,6 +34,14 @@ _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 _VGG16_TAP_CHANNELS = (64, 128, 256, 512, 512)
 
+_LPIPS_LIN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                              'resources', 'lpips_lin')
+
+
+def default_lin_weights_path(net: str) -> str:
+    """Vendored LPIPS calibration heads (reference models/lpips_models/)."""
+    return os.path.join(_LPIPS_LIN_DIR, f'{net}.npz')
+
 
 def normalize_tensor(x, eps=1e-10):
     norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True))
@@ -82,13 +90,23 @@ class LPIPS:
         return variables
 
     def _init_lin(self, path):
+        if not path:
+            # the calibration heads are tiny vendored weights (reference
+            # models/lpips_models/*.pth, re-serialised as npz) — load them by
+            # default so LPIPS aggregation matches richzhang's released model
+            path = default_lin_weights_path(self.net)
         if path and os.path.exists(path):
-            import torch
-            state = torch.load(path, map_location='cpu', weights_only=False)
+            if path.endswith('.npz'):
+                state = dict(np.load(path))
+            else:
+                import torch
+                state = {k: v.detach().numpy() for k, v in
+                         torch.load(path, map_location='cpu',
+                                    weights_only=False).items()}
             weights = []
             for i in range(len(self.tap_channels)):
-                w = state[f'lin{i}.model.1.weight'].detach().numpy()  # (1, C, 1, 1)
-                weights.append(np.transpose(w, (2, 3, 1, 0)))  # HWIO
+                w = np.asarray(state[f'lin{i}.model.1.weight'])  # (1, C, 1, 1)
+                weights.append(np.transpose(w, (2, 3, 1, 0)).astype(np.float32))
             LOGGER.info(f'LPIPS linear heads loaded from {path}')
             return weights
         LOGGER.warning(f'LPIPS linear heads unavailable ({path}); using ones.')
