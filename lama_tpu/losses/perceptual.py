@@ -25,34 +25,41 @@ class ResNetPL:
     (LossConfig.resnet_pl_weight) to mirror the config split."""
 
     def __init__(self, variables=None, weights_path: Optional[str] = None,
-                 arch_encoder: str = 'resnet50dilated', dtype=None):
+                 arch_encoder: str = 'resnet50dilated', dtype=None,
+                 allow_random_weights: bool = False):
         assert arch_encoder in ('resnet50dilated', 'resnet50'), arch_encoder
         self.model = ResNetDilatedEncoder(dilated=arch_encoder == 'resnet50dilated',
                                           dtype=dtype)
         if variables is None:
-            variables = self.init_variables(weights_path)
+            variables = self.init_variables(weights_path, allow_random_weights)
         self.variables = jax.tree.map(jax.lax.stop_gradient, variables)
 
-    def init_variables(self, weights_path):
+    def init_variables(self, weights_path, allow_random_weights=False):
         probe = jnp.zeros((1, 64, 64, 3))
         variables = self.model.init(jax.random.PRNGKey(0), probe, train=False)
-        if weights_path:
-            import os
-            if os.path.exists(weights_path):
-                from ..training.convert import torch_to_flax
-                import torch
-                state = torch.load(weights_path, map_location='cpu', weights_only=False)
-                if isinstance(state, dict) and 'state_dict' in state:
-                    state = state['state_dict']
-                variables = torch_to_flax(state, variables, model=self.model,
-                                          prefix='', strict=False)
-                LOGGER.info(f'ResNetPL weights loaded from {weights_path}')
-            else:
-                LOGGER.warning(f'ResNetPL weights not found at {weights_path}; '
-                               'using RANDOM weights — loss values will not match '
-                               'the reference until weights are provided.')
-        else:
-            LOGGER.warning('ResNetPL constructed without weights_path: RANDOM weights.')
+        import os
+        if weights_path and os.path.exists(weights_path):
+            from ..training.convert import torch_to_flax
+            import torch
+            state = torch.load(weights_path, map_location='cpu', weights_only=False)
+            if isinstance(state, dict) and 'state_dict' in state:
+                state = state['state_dict']
+            variables = torch_to_flax(state, variables, model=self.model,
+                                      prefix='', strict=False)
+            LOGGER.info(f'ResNetPL weights loaded from {weights_path}')
+            return variables
+        # the reference fails loudly when the ADE20k encoder weights are
+        # missing (torch.load raises); random weights silently change training
+        # dynamics, so they are opt-in for smoke tests only
+        if not allow_random_weights:
+            raise FileNotFoundError(
+                f'ResNetPL encoder weights not found at {weights_path!r}. '
+                'Download the ADE20k resnet50dilated encoder (see README) or '
+                'pass allow_random_weights=True / set '
+                'losses.resnet_pl.allow_random_weights=true for smoke tests.')
+        LOGGER.warning(f'ResNetPL weights not found at {weights_path!r}; '
+                       'using RANDOM weights (explicitly allowed) — loss '
+                       'values will not match the reference.')
         return variables
 
     def __call__(self, pred, target):

@@ -100,6 +100,7 @@ class FourierUnit(nn.Module):
     output is unpacked back to complex. `fft_norm='ortho'` default.
     """
     features: int  # output complex channels
+    groups: int = 1  # grouped 1x1 spectral conv (reference ffc.py conv_layer groups)
     spatial_scale_factor: Optional[float] = None
     spatial_scale_mode: str = 'bilinear'
     spectral_pos_encoding: bool = False
@@ -134,7 +135,8 @@ class FourierUnit(nn.Module):
 
         b, h, w, c = x.shape
         if (self.use_pallas_fused and not train and not self.spectral_pos_encoding
-                and not self.use_se and self.has_variable('params', 'conv_layer')):
+                and not self.use_se and self.groups == 1
+                and self.has_variable('params', 'conv_layer')):
             # opt-in fused kernel: reuses the SAME parameters the XLA path
             # creates ('conv_layer'/'bn'); at init the variables don't exist
             # yet, so initialisation always flows through the XLA path below.
@@ -165,8 +167,9 @@ class FourierUnit(nn.Module):
         if self.use_se:
             y = SELayer(name='se', dtype=jnp.float32)(y)
 
-        y = Conv2d(2 * self.features, kernel_size=1, use_bias=False,
-                   name='conv_layer', dtype=self._spectral_dtype())(y)
+        y = Conv2d(2 * self.features, kernel_size=1, groups=self.groups,
+                   use_bias=False, name='conv_layer',
+                   dtype=self._spectral_dtype())(y)
         y = BatchNorm(name='bn', axis_name=self.bn_axis_name)(y, use_running_average=not train)
         y = jax.nn.relu(y)
 
@@ -205,7 +208,8 @@ class SpectralTransform(nn.Module):
         x = jax.nn.relu(x)
 
         fu_kwargs = dict(self.fu_kwargs or {})
-        output = FourierUnit(half, name='fu', bn_axis_name=self.bn_axis_name,
+        output = FourierUnit(half, groups=self.groups, name='fu',
+                             bn_axis_name=self.bn_axis_name,
                              dtype=self.dtype, **fu_kwargs)(x, train=train)
 
         if self.enable_lfu:
@@ -214,7 +218,8 @@ class SpectralTransform(nn.Module):
             # 2×2 spatial tiling folded into channels (ffc.py:149-157)
             xs = jnp.concatenate(jnp.split(x[..., :c // 4], 2, axis=1), axis=-1)
             xs = jnp.concatenate(jnp.split(xs, 2, axis=2), axis=-1)
-            xs = FourierUnit(half, name='lfu', bn_axis_name=self.bn_axis_name,
+            xs = FourierUnit(half, groups=self.groups, name='lfu',
+                             bn_axis_name=self.bn_axis_name,
                              dtype=self.dtype)(xs, train=train)
             xs = jnp.tile(xs, (1, 2, 2, 1))
         else:

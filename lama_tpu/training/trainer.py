@@ -85,7 +85,9 @@ class InpaintingTrainer:
             perceptual_fn = ResNetPL(
                 weights_path=wp, dtype=self.dtype,
                 arch_encoder=_get(config, 'losses.resnet_pl.arch_encoder',
-                                  'resnet50dilated'))
+                                  'resnet50dilated'),
+                allow_random_weights=bool(_get(
+                    config, 'losses.resnet_pl.allow_random_weights', False)))
         vgg_perceptual_fn = None
         if float(_get(config, 'losses.perceptual.weight', 0) or 0) > 0:
             from ..losses.perceptual import VGG19PerceptualLoss

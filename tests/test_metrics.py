@@ -99,7 +99,7 @@ def test_resnet_dilated_shapes(rng):
 
 def test_resnet_pl_loss(rng):
     from lama_tpu.losses.perceptual import ResNetPL
-    pl = ResNetPL(weights_path=None)
+    pl = ResNetPL(weights_path=None, allow_random_weights=True)
     a = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
     b = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
     v_ab = float(pl(a, b))

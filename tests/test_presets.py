@@ -97,7 +97,7 @@ def test_img_segmentation_dataset(tmp_path, rng):
 
 def test_resnet_pl_nondilated(rng):
     from lama_tpu.losses.perceptual import ResNetPL
-    pl = ResNetPL(weights_path=None, arch_encoder='resnet50')
+    pl = ResNetPL(weights_path=None, arch_encoder='resnet50', allow_random_weights=True)
     a = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
     b = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
     assert float(pl(a, b)) > 0
