@@ -47,6 +47,21 @@ def main(config_name, overrides):
 
     run_dir = config.get('run_dir')
     if not run_dir:
+        template = config.select('hydra.run.dir')
+        if template:
+            # hydra-group run-dir templating (reference
+            # configs/training/hydra/overrides.yaml): ${env:}/${location.*}/
+            # ${run_title} were resolved at compose time; resolve the
+            # hydra-runtime placeholders here
+            import re as _re
+            run_dir = _re.sub(
+                r'\$\{now:([^}]*)\}',
+                lambda m: datetime.datetime.now().strftime(m.group(1)), template)
+            run_dir = (run_dir
+                       .replace('${hydra:job.name}', 'train')
+                       .replace('${hydra:job.config_name}', config_name)
+                       .replace('${env:USER}', getpass.getuser()))
+    if not run_dir:
         out_root = config.select('location.out_root_dir') or os.getcwd()
         stamp = datetime.datetime.now().strftime('%Y-%m-%d_%H-%M-%S')
         title = config.get('run_title', '') or ''

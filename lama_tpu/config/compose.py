@@ -67,8 +67,6 @@ def compose(config_dir: str, config_name: str,
             group, name = entry, None
         else:
             (group, name), = entry.items()
-        if group in ('hydra',):
-            continue
         name = group_swaps.get(group, name)
         if name is None:
             continue

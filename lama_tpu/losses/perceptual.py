@@ -26,7 +26,13 @@ class ResNetPL:
 
     def __init__(self, variables=None, weights_path: Optional[str] = None,
                  arch_encoder: str = 'resnet50dilated', dtype=None,
-                 allow_random_weights: bool = False):
+                 allow_random_weights: bool = False,
+                 segmentation: bool = True):
+        # segmentation=False selects imagenet (non-ADE20k) encoder weights in
+        # the reference (ModelBuilder.get_encoder segmentation flag); the trunk
+        # math is identical, only the weights file differs — the caller points
+        # weights_path at the imagenet checkpoint in that case.
+        self.segmentation = segmentation
         assert arch_encoder in ('resnet50dilated', 'resnet50'), arch_encoder
         self.model = ResNetDilatedEncoder(dilated=arch_encoder == 'resnet50dilated',
                                           dtype=dtype)

@@ -78,14 +78,20 @@ class InpaintingTrainer:
         resnet_pl_weight = float(_get(config, 'losses.resnet_pl.weight', 0) or 0)
         if resnet_pl_weight > 0:
             from ..losses.perceptual import ResNetPL
+            arch_encoder = _get(config, 'losses.resnet_pl.arch_encoder',
+                                'resnet50dilated')
+            segmentation = bool(_get(config, 'losses.resnet_pl.segmentation', True))
             wp = _get(config, 'losses.resnet_pl.weights_path') or None
-            if isinstance(wp, str) and wp:
-                wp = os.path.join(wp, 'ade20k', 'ade20k-resnet50dilated-ppm_deepsup',
-                                  'encoder_epoch_20.pth') if os.path.isdir(wp) else wp
+            if isinstance(wp, str) and wp and os.path.isdir(wp):
+                # ADE20k checkpoint layout under TORCH_HOME; segmentation=False
+                # ablations point at an imagenet trunk checkpoint instead
+                wp = (os.path.join(wp, 'ade20k',
+                                   'ade20k-resnet50dilated-ppm_deepsup',
+                                   'encoder_epoch_20.pth') if segmentation
+                      else os.path.join(wp, f'{arch_encoder}-imagenet.pth'))
             perceptual_fn = ResNetPL(
                 weights_path=wp, dtype=self.dtype,
-                arch_encoder=_get(config, 'losses.resnet_pl.arch_encoder',
-                                  'resnet50dilated'),
+                arch_encoder=arch_encoder, segmentation=segmentation,
                 allow_random_weights=bool(_get(
                     config, 'losses.resnet_pl.allow_random_weights', False)))
         vgg_perceptual_fn = None
