@@ -147,11 +147,11 @@ class SegmentationMask:
                  max_hidden_area=0.2, max_scale_change=0.25, horizontal_flip=True,
                  max_vertical_shift=0.1, position_shuffle=True):
         if predictor is None:
-            raise RuntimeError(
-                'SegmentationMask needs a panoptic predictor backend: a callable '
-                'img -> (panoptic_seg HxW int array, segments_info list of '
-                "{'id', 'isthing'}). The reference uses detectron2 PanopticFPN "
-                'R101, which is unavailable in this environment.')
+            # default backend: the in-repo ADE20k segmenter with
+            # connected-component instancing (segm_backend.py) — detectron2's
+            # PanopticFPN (reference mask.py:7-14) has no TPU story
+            from .segm_backend import make_default_predictor
+            predictor = make_default_predictor()
         self.predictor = predictor
         self.confidence_threshold = confidence_threshold
         self.rigidness_mode = RigidnessMode(rigidness_mode)

@@ -77,3 +77,7 @@ def stub_reference_deps():
     sys.modules['skimage.segmentation'].mark_boundaries = None
     if '/root/reference' not in sys.path:
         sys.path.insert(0, '/root/reference')
+
+
+def pytest_configure(config):
+    config.addinivalue_line('markers', 'slow: slow end-to-end tests')
