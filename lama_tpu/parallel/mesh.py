@@ -58,9 +58,37 @@ def shard_predict(predict_fn, mesh: Mesh, data_axis: str = 'data',
                    out_shardings=img_sharding), img_sharding, repl
 
 
+def put_replicated(tree, mesh: Mesh):
+    """Place a host-local pytree fully replicated over the (possibly
+    multi-process) mesh. Single process: plain device_put. Multi-process:
+    every process must pass the SAME values (deterministic init);
+    make_array_from_process_local_data assembles the global arrays."""
+    repl = replicate_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, repl)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(repl, np.asarray(x)),
+        tree)
+
+
+def put_batch(tree, mesh: Mesh, axis: str = 'data'):
+    """Place per-host batch shards onto the mesh's data axis. Single process:
+    the tree IS the global batch. Multi-process: each process passes its own
+    BatchLoader shard (shard_id=process_index) and the global batch is the
+    concatenation over processes — the per-host input sharding the reference's
+    DDP sampler never actually did (SURVEY §2.2 quirk)."""
+    bsh = batch_sharding(mesh, axis)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, bsh)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(bsh, np.asarray(x)),
+        tree)
+
+
 def shard_train_step(step_fn, mesh: Mesh, state, batch_axis: str = 'data'):
     """jit `step_fn(state, batch, rng)` with params replicated and the batch
-    sharded along `batch_axis`. Returns (jitted_fn, sharded_state)."""
+    sharded along `batch_axis`. Returns (jitted_fn, sharded_state).
+    Multi-host safe: state placement goes through put_replicated."""
     repl = replicate_sharding(mesh)
     bsh = batch_sharding(mesh, batch_axis)
 
@@ -71,5 +99,5 @@ def shard_train_step(step_fn, mesh: Mesh, state, batch_axis: str = 'data'):
                  in_shardings=(state_sharding, batch_sharding_tree, repl),
                  out_shardings=(state_sharding, None),
                  donate_argnums=(0,))
-    sharded_state = jax.device_put(state, repl)
+    sharded_state = put_replicated(state, mesh)
     return fn, sharded_state

@@ -29,7 +29,7 @@ from ..evaluation import make_evaluator
 from ..losses.adversarial import make_discrim_loss
 from ..losses.distance_weighting import make_mask_distance_weighter
 from ..models import make_discriminator, make_generator
-from ..parallel.mesh import batch_sharding, make_mesh, shard_train_step
+from ..parallel.mesh import make_mesh, shard_train_step
 from ..utils.misc import flatten_dict
 from .checkpoint import CheckpointManager, restore_pytree, save_pytree
 from .state import create_train_state, make_optimizer
@@ -335,11 +335,11 @@ class InpaintingTrainer:
         if resume_from:
             LOGGER.info(f'Resuming from {resume_from}')
             restored = restore_pytree(resume_from, jax.device_get(self.state))
-            from ..parallel.mesh import replicate_sharding
-            self.state = jax.device_put(restored, replicate_sharding(self.mesh))
+            from ..parallel.mesh import put_replicated
+            self.state = put_replicated(restored, self.mesh)
             self.global_step = int(np.asarray(restored.step))
 
-        bsh = batch_sharding(self.mesh)
+        from ..parallel.mesh import put_batch
         for epoch in range(self.max_epochs):
             train_loader.set_epoch(epoch)
             t_epoch = time.time()
@@ -347,10 +347,8 @@ class InpaintingTrainer:
                 if self.limit_train_batches and batch_i >= int(self.limit_train_batches):
                     break
                 batch = self._prepare_train_batch(batch)
-                device_batch = {
-                    'image': jax.device_put(batch['image'], bsh),
-                    'mask': jax.device_put(batch['mask'], bsh),
-                }
+                device_batch = put_batch({'image': batch['image'],
+                                          'mask': batch['mask']}, self.mesh)
                 self.state, metrics = self.jit_step(
                     self.state, device_batch, jax.random.PRNGKey(self.global_step))
                 if self.global_step % self.log_every_n_steps == 0:

@@ -1,0 +1,58 @@
+"""Multi-host rehearsal on CPU (VERDICT round-1 item 7): two REAL processes
+under jax.distributed with a local coordinator, 4 forced CPU devices each —
+asserting disjoint per-host BatchLoader shards and bitwise-identical
+post-psum generator params after one fused GAN step over the 8-device
+global mesh."""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, 'tests', 'multihost_worker.py')
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(('localhost', 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_data_parallel_rehearsal(tmp_path):
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop('JAX_PLATFORMS', None)
+    env['JAX_PLATFORMS'] = 'cpu'
+    env['XLA_FLAGS'] = (env.get('XLA_FLAGS', '')
+                        + ' --xla_force_host_platform_device_count=4').strip()
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, '--process-id', str(i), '--num-processes', '2',
+         '--coordinator', f'localhost:{port}', '--outdir', str(tmp_path)],
+        env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for i in range(2)]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f'worker failed:\n{out[-4000:]}'
+
+    results = []
+    for i in range(2):
+        with open(tmp_path / f'worker{i}.json') as f:
+            results.append(json.load(f))
+
+    # disjoint equal shards covering the whole dataset
+    idx0 = set(results[0]['accessed_indices'])
+    idx1 = set(results[1]['accessed_indices'])
+    assert idx0.isdisjoint(idx1)
+    assert len(idx0) == len(idx1) == 8
+    assert idx0 | idx1 == set(range(16))
+    assert results[0]['n_batches'] == results[1]['n_batches'] == 2
+
+    # post-step params identical across hosts (grad psum + identical init)
+    assert results[0]['g_param_fingerprint'] == results[1]['g_param_fingerprint']
+    for r in results:
+        assert np.isfinite(r['gen_total']) and np.isfinite(r['discr_total'])
