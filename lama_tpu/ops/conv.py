@@ -22,6 +22,19 @@ from .pad import pad2d
 
 Dtype = Any
 
+# space-to-depth conv transform (ops/s2d_conv.py) for thin-channel reflect
+# convs. MEASURED NEGATIVE RESULT in-graph (v5e, round 2): isolated wins
+# (stem 7.0->4.4ms, out head 23.0->17.7ms) INVERT inside the full big-lama
+# graph (129.3 -> 114.8 img/s stem-only, 127.8 out-only, 118.3 down1-only;
+# 112.1 all three) — the s2d reshuffles break XLA's producer fusion. Default
+# OFF; kept for serving shapes where the conv stands alone.
+USE_S2D_CONV = False
+
+# reflect conv via zero-pad-structured graph + concat border reassembly
+# (_conv2d_reflect_border_concat) for inputs with H >= this threshold;
+# None disables. Threshold measured on v5e (see BASELINE.md round 2).
+REFLECT_BORDER_CONCAT_MIN_H = None
+
 # experimental: route eligible reflect-padded 3x3 convs through the Pallas
 # halo kernel (ops/pallas/halo_conv.py); toggled for benchmarking
 USE_HALO_CONV = False
@@ -133,6 +146,55 @@ def _conv2d_reflect_decomposed(x, kernel, stride, padding, dilation, groups):
     return out
 
 
+def _conv2d_reflect_border_concat(x, kernel, stride, padding, dilation, groups):
+    """Reflect-padded conv with the zero-pad graph structure: the main conv
+    runs with XLA-fused zero padding (no materialised pad tensor); the p-wide
+    output border is recomputed from thin reflected strips and the result is
+    REASSEMBLED WITH CONCATS (one output copy) instead of the round-1
+    decomposition's per-row dynamic-update-slices (which measured 93 img/s,
+    see _conv2d_reflect_decomposed). Exact vs torch reflect semantics."""
+    b, h, w, _ = x.shape
+    (ph, _), (pw, _) = padding
+    sh, sw = stride
+    dh, dw = dilation
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    eff_kh = dh * (kh - 1) + 1
+    eff_kw = dw * (kw - 1) + 1
+
+    out = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=stride, padding=padding,
+        rhs_dilation=dilation, feature_group_count=groups,
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    oh, ow = out.shape[1], out.shape[2]
+
+    n_top = min(oh, -(-ph // sh))
+    n_bot = max(0, min(oh - n_top, oh - 1 - (h + ph - eff_kh) // sh))
+    n_left = min(ow, -(-pw // sw))
+    n_right = max(0, min(ow - n_left, ow - 1 - (w + pw - eff_kw) // sw))
+
+    def row_strip(o):
+        rows = _reflect_rows(h, o * sh - ph, o * sh - ph + eff_kh)
+        strip = x[:, jnp.asarray(rows), :, :]
+        strip = pad2d(strip, ((0, 0), (pw, pw)), mode='reflect')
+        return _conv_valid(strip, kernel, (1, sw), dilation, groups)[:, 0]
+
+    def col_strip(o):
+        cols = _reflect_rows(w, o * sw - pw, o * sw - pw + eff_kw)
+        strip = x[:, :, jnp.asarray(cols), :]
+        strip = pad2d(strip, ((ph, ph), (0, 0)), mode='reflect')
+        return _conv_valid(strip, kernel, (sh, 1), dilation, groups)[:, :, 0]
+
+    mid = out[:, n_top: oh - n_bot, n_left: ow - n_right]
+    if n_left or n_right:
+        lefts = [col_strip(o)[:, n_top: oh - n_bot, None] for o in range(n_left)]
+        rights = [col_strip(o)[:, n_top: oh - n_bot, None]
+                  for o in range(ow - n_right, ow)]
+        mid = jnp.concatenate(lefts + [mid] + rights, axis=2)
+    parts = ([row_strip(o)[:, None] for o in range(n_top)] + [mid]
+             + [row_strip(o)[:, None] for o in range(oh - n_bot, oh)])
+    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else mid
+
+
 def conv2d(x, kernel, bias=None, stride=1, padding=0, dilation=1, groups=1,
            padding_mode='zeros'):
     """Functional 2-D convolution, NHWC input, HWIO kernel, torch semantics."""
@@ -144,6 +206,27 @@ def conv2d(x, kernel, bias=None, stride=1, padding=0, dilation=1, groups=1,
         padding = ((padding[0], padding[0]), (padding[1], padding[1]))
 
     has_pad = any(p != 0 for pair in padding for p in pair)
+    if (REFLECT_BORDER_CONCAT_MIN_H is not None and padding_mode == 'reflect'
+            and has_pad and x.shape[1] >= REFLECT_BORDER_CONCAT_MIN_H
+            and all(p == pair[0] for pair in padding for p in pair)
+            and jax.default_backend() not in ('cpu',)):
+        out = _conv2d_reflect_border_concat(x, kernel, stride, padding,
+                                            dilation, groups)
+        if bias is not None:
+            out = out + bias.reshape(1, 1, 1, -1).astype(out.dtype)
+        return out
+    if (USE_S2D_CONV and padding_mode == 'reflect' and groups == 1
+            and dilation == (1, 1) and stride[0] == stride[1]
+            and kernel.shape[0] == kernel.shape[1]
+            and padding[0] == padding[1]
+            and padding[0][0] == padding[0][1] == kernel.shape[0] // 2
+            and jax.default_backend() not in ('cpu',)):
+        from .s2d_conv import conv2d_reflect_s2d, s2d_factor_for
+        a = s2d_factor_for(x.shape[1], x.shape[2], x.shape[3], kernel.shape[3],
+                           kernel.shape[0], stride[0])
+        if a is not None and x.shape[1] % a == 0 and x.shape[2] % a == 0:
+            return conv2d_reflect_s2d(x, kernel, bias=bias, stride=stride[0],
+                                      a=a)
     if (USE_PALLAS_REFLECT and padding_mode == 'reflect'
             and padding == ((1, 1), (1, 1)) and dilation == (1, 1)
             and groups == 1 and kernel.shape[0] == 3 and kernel.shape[1] == 3

@@ -1,0 +1,125 @@
+"""Space-to-depth convolution transform — the TPU fix for thin-channel convs.
+
+Why: XLA lowers a conv's channel dims onto MXU lanes (128) padded with zeros.
+big-lama's stem (7x7, 4->64 @512^2) and output head (7x7, 64->3 @512^2) burn
+32-42x of their FLOPs on that padding (~34 ms of a ~124 ms forward, measured
+round 2 — see BASELINE.md). The cure is algebraic: pack a x a input subpixels
+into channels (space-to-depth), pack g x g = (a/stride)^2 output subpixels
+into channels, and run ONE dense conv whose channel dims are MXU-sized. The
+re-packed kernel places the original taps at
+
+    ky = a*KY + dyi - s*dyo      (and likewise for x),
+
+zero elsewhere; reflect padding (p = k//2) is applied before the transform so
+semantics are exactly `reflect-pad + conv` (parity-tested vs torch).
+
+Everything is plain XLA (reshape/transpose/gather/conv) — differentiable,
+CPU-testable, no custom kernels. The per-shape s2d factor `a` is chosen
+empirically (see BASELINE.md measurements); the dispatcher only fires where
+the dense conv wins.
+"""
+import functools
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .pad import pad2d
+
+
+def _ceil_to(v, m):
+    return -(-v // m) * m
+
+
+@functools.lru_cache(maxsize=None)
+def _gather_indices(k: int, a: int, s: int):
+    """Static index/validity tables mapping the packed kernel position
+    (KY, dyi, dyo) back to the original tap ky = a*KY + dyi - s*dyo."""
+    g = a // s
+    t = (a - s + k - 1) // a + 1  # packed kernel size
+    idx = np.zeros((t, a, g), np.int32)
+    for big_k in range(t):
+        for di in range(a):
+            for do in range(g):
+                ky = a * big_k + di - s * do
+                idx[big_k, di, do] = ky if 0 <= ky < k else k  # k -> zero row
+    return t, idx
+
+
+def pack_kernel(kernel, a: int, s: int):
+    """(k, k, C, C') HWIO -> (T, T, a*a*C, g*g*C') for the s2d domain."""
+    k, _, c, c_out = kernel.shape
+    g = a // s
+    t, idx = _gather_indices(k, a, s)
+    kp = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))  # row/col k == 0
+    # gather -> (Ty, ayi, gyo, Tx, axi, gxo, C, C')
+    w = kp[idx[:, :, :, None, None, None], idx[None, None, None]]
+    # -> (Ty, Tx, ayi, axi, C, gyo, gxo, C') -> (T, T, a^2 C, g^2 C')
+    w = w.transpose(0, 3, 1, 4, 6, 2, 5, 7)
+    return w.reshape(t, t, a * a * c, g * g * c_out)
+
+
+def space_to_depth(x, a: int):
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // a, a, w // a, a, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // a, w // a, a * a * c)
+
+
+def depth_to_space(x, g: int):
+    b, h, w, c = x.shape
+    c_out = c // (g * g)
+    x = x.reshape(b, h, w, g, g, c_out)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * g, w * g, c_out)
+
+
+def conv2d_reflect_s2d(x, kernel, bias=None, stride: int = 1, a: int = 2,
+                       padding_mode: str = 'reflect'):
+    """reflect-pad(k//2) + conv(stride) computed in the space-to-depth domain.
+    x: (B, H, W, C) NHWC; kernel: (k, k, C, C') HWIO; stride | a;
+    H, W divisible by a. Returns (B, H/s, W/s, C')."""
+    b, h, w_in, c = x.shape
+    k = kernel.shape[0]
+    c_out = kernel.shape[-1]
+    p, s = k // 2, stride
+    g = a // s
+    ho, wo = h // s, w_in // s
+    t, _ = _gather_indices(k, a, s)
+
+    xp = pad2d(x, ((p, p), (p, p)), mode=padding_mode)
+    # align padded dims up to a multiple of a with unread zero rows/cols:
+    # max padded row read = (ho - 1)*s + k - 1 < h + 2p <= aligned size
+    ah = _ceil_to(h + 2 * p, a)
+    aw = _ceil_to(w_in + 2 * p, a)
+    xp = jnp.pad(xp, ((0, 0), (0, ah - h - 2 * p), (0, aw - w_in - 2 * p),
+                      (0, 0)))
+    xs = space_to_depth(xp, a)
+
+    wp = pack_kernel(kernel, a, s)
+    out = jax.lax.conv_general_dilated(
+        xs, wp, (1, 1), 'VALID',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        preferred_element_type=jnp.float32)
+    out = out[:, :ho // g, :wo // g]
+    out = depth_to_space(out, g).astype(x.dtype)
+    if bias is not None:
+        out = out + bias.reshape(1, 1, 1, -1).astype(out.dtype)
+    return out
+
+
+def s2d_factor_for(h: int, w: int, c: int, c_out: int, k: int, s: int):
+    """Per-shape s2d factor from v5e measurements (BASELINE.md round 2):
+    stem-like 7x7 thin-input convs win at a=2 (7.0 -> 4.4 ms isolated),
+    head-like 7x7 thin-output convs at a=8 (23.0 -> 17.7 isolated; the s2d
+    transpose fuses further in-graph), stride-2 64ch downsamples at a=2.
+    None = plain conv is at least as good for this shape."""
+    if s not in (1, 2) or h < 256 or h % 16 or w % 16:
+        return None
+    if k == 7 and s == 1 and c <= 8:
+        return 2
+    if k == 7 and s == 1 and c_out <= 8:
+        return 8
+    if k == 3 and s == 2 and c <= 64 and c_out <= 128:
+        return 2
+    return None

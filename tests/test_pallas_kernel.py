@@ -1,5 +1,6 @@
 """Fused FourierUnit Pallas kernel: interpret-mode parity vs the XLA module
 path (exact same parameters), plus planar weight folding unit checks."""
+import pytest
 import numpy as np
 
 import jax
@@ -164,3 +165,36 @@ def test_halo_conv3x3_interpret_parity(rng):
         interpret=True)(x, k)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize('k,s,h,w,c,co', [
+    (3, 1, 32, 128, 8, 16),
+    (3, 2, 64, 128, 8, 16),
+    (7, 1, 32, 128, 8, 16),
+    (3, 2, 64, 256, 16, 32),
+])
+def test_halo_conv_tiled_matches_torch_reflect(rng, k, s, h, w, c, co):
+    """Row-tiled strided halo conv (interpret mode): bit-parity vs torch
+    reflect-padded conv, including the boundary tiles' reflect rows."""
+    import torch
+    import torch.nn.functional as TF
+
+    from lama_tpu.ops.pallas.halo_conv import (halo_conv_reflect_tiled,
+                                               halo_conv_reflect_tiled_supported)
+
+    assert halo_conv_reflect_tiled_supported(h, w, c, co, k, s)
+    p = k // 2
+    x = rng.randn(2, h, w, c).astype(np.float32)
+    kern = rng.randn(k, k, c, co).astype(np.float32) * 0.1
+    bias = rng.randn(co).astype(np.float32)
+
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    kt = torch.from_numpy(np.transpose(kern, (3, 2, 0, 1)))
+    ref = TF.conv2d(TF.pad(xt, [p] * 4, mode='reflect'), kt,
+                    bias=torch.from_numpy(bias), stride=s).numpy()
+
+    out = halo_conv_reflect_tiled(jnp.asarray(x), jnp.asarray(kern),
+                                  bias=jnp.asarray(bias), stride=s,
+                                  dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.transpose(np.asarray(out), (0, 3, 1, 2)),
+                               ref, rtol=1e-4, atol=1e-4)
