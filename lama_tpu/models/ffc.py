@@ -30,12 +30,25 @@ from flax import linen as nn
 
 from ..ops.activations import get_activation
 from ..ops.conv import Conv2d, ConvTranspose2d, avg_pool2d
+from ..ops.conv import conv2d as fconv2d
 from ..ops.geometry import rotate
 from ..ops.norm import BatchNorm
 from ..ops.pad import pad2d, reflection_pad2d
 from ..ops.resize import interpolate
 
 Dtype = Any
+
+# merge convl2l+convl2g (shared input) into one wider conv at apply time;
+# flip only after an on-chip measurement (see probes/)
+MERGE_SIBLING_CONVS = False
+
+# FourierUnit eval path: keep re/im as contiguous channel halves
+# ([re_0..re_C, im_0..im_C]) instead of the reference's per-channel
+# interleave ([re_0, im_0, re_1, ...]). The interleave is a lane-hostile
+# (..., C, 2)->2C shuffle on TPU; the halves layout is a plain concat. Exact:
+# the 1x1 spectral conv kernel and BN params are permuted to match at apply
+# time. Flip only after an on-chip measurement (see probes/).
+SPECTRAL_CONCAT_LAYOUT = False
 
 # Stream = Tuple[Optional[jnp.ndarray], Optional[jnp.ndarray]]  # (local, global)
 
@@ -156,6 +169,35 @@ class FourierUnit(nn.Module):
             fft = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2), norm=self.fft_norm)
             f_re, f_im = fft.real, fft.imag
         w2 = f_re.shape[2]
+        if (SPECTRAL_CONCAT_LAYOUT and not train and dft
+                and not self.spectral_pos_encoding and not self.use_se
+                and self.groups == 1
+                and self.has_variable('params', 'conv_layer')):
+            import numpy as _np
+            cdt = self._spectral_dtype()
+            cout = self.features
+            kern = self.get_variable('params', 'conv_layer')['kernel']
+            bnp = self.get_variable('params', 'bn')
+            bns = self.get_variable('batch_stats', 'bn')
+            perm_in = _np.concatenate([_np.arange(c) * 2, _np.arange(c) * 2 + 1])
+            perm_out = _np.concatenate([_np.arange(cout) * 2,
+                                        _np.arange(cout) * 2 + 1])
+            kern = kern[:, :, perm_in][:, :, :, perm_out]
+            y = jnp.concatenate([f_re, f_im], axis=-1).astype(cdt)
+            y = jax.lax.conv_general_dilated(
+                y, kern.astype(cdt), (1, 1), 'VALID',
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+            mean, var = bns['mean'][perm_out], bns['var'][perm_out]
+            scale, bias = bnp['scale'][perm_out], bnp['bias'][perm_out]
+            y32 = (y.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + 1e-5)
+            y = jax.nn.relu(y32 * scale + bias).astype(y.dtype)
+            out = irfft2_dft(y[..., :cout], y[..., cout:], s=(h, w),
+                             norm=self.fft_norm, dtype=cdt)
+            if self.spatial_scale_factor is not None:
+                out = interpolate(out, size=orig_size,
+                                  mode=self.spatial_scale_mode,
+                                  align_corners=False)
+            return out.astype(orig_dtype)
         # interleave re/im per channel: (B, H, W2, C, 2) -> (B, H, W2, 2C)
         y = jnp.stack([f_re, f_im], axis=-1).reshape(b, h, w2, 2 * c)
 
@@ -277,11 +319,36 @@ class FFC(nn.Module):
         else:
             g2l_gate, l2g_gate = 1.0, 1.0
 
+        # sibling-conv merge: convl2l and convl2g share input x_l (and pad /
+        # stride / dilation); concatenating their kernels along the output
+        # axis at apply time runs them as ONE conv with a wider N dim — same
+        # FLOPs, fewer kernels, bigger MXU tiles. Exact (conv is linear in the
+        # kernel's output axis); params/checkpoints unchanged (the normal path
+        # below declares them at init).
+        l2l_out = l2g_out = None
+        if (MERGE_SIBLING_CONVS and not self.gated and self.groups == 1
+                and in_cl > 0 and x_l is not None and out_cl > 0 and out_cg > 0
+                and self.has_variable('params', 'convl2l')
+                and self.has_variable('params', 'convl2g')):
+            p_ll = self.get_variable('params', 'convl2l')
+            p_lg = self.get_variable('params', 'convl2g')
+            mdtype = self.dtype or x_l.dtype
+            mk = jnp.concatenate([p_ll['kernel'], p_lg['kernel']],
+                                 axis=3).astype(mdtype)
+            mb = (jnp.concatenate([p_ll['bias'], p_lg['bias']]).astype(mdtype)
+                  if self.use_bias else None)
+            merged = fconv2d(x_l.astype(mdtype), mk, bias=mb,
+                             stride=self.stride, padding=self.padding,
+                             dilation=self.dilation, groups=1,
+                             padding_mode=self.padding_type)
+            l2l_out, l2g_out = merged[..., :out_cl], merged[..., out_cl:]
+
         out_xl, out_xg = None, None
         if out_cl > 0:
             acc = None
             if in_cl > 0 and x_l is not None:
-                acc = Conv2d(out_cl, name='convl2l', **conv_kw)(x_l)
+                acc = (l2l_out if l2l_out is not None
+                       else Conv2d(out_cl, name='convl2l', **conv_kw)(x_l))
             if in_cg > 0 and x_g is not None:
                 term = Conv2d(out_cl, name='convg2l', **conv_kw)(x_g) * g2l_gate
                 acc = term if acc is None else acc + term
@@ -289,7 +356,8 @@ class FFC(nn.Module):
         if out_cg > 0:
             acc = None
             if in_cl > 0 and x_l is not None:
-                acc = Conv2d(out_cg, name='convl2g', **conv_kw)(x_l) * l2g_gate
+                acc = (l2g_out if l2g_out is not None
+                       else Conv2d(out_cg, name='convl2g', **conv_kw)(x_l)) * l2g_gate
             if in_cg > 0 and x_g is not None:
                 term = SpectralTransform(
                     out_cg, stride=self.stride,

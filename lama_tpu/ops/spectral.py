@@ -79,6 +79,8 @@ def _es(eq, a, b, dtype):
 def rfft2_dft(x, norm: str = 'ortho', dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """rfft2 over axes (1, 2) of NHWC input via matmuls.
     Returns (real, imag), each (B, H, W//2+1, C) fp32."""
+    if PACKED_DFT:
+        return rfft2_dft_packed(x, norm=norm, dtype=dtype)
     _, h, w, _ = x.shape
     wr, wi = _rdft_mats(w, norm)
     xr = _es('bhwc,wf->bhfc', x, wr, dtype)
@@ -93,6 +95,8 @@ def irfft2_dft(fr, fi, s: Tuple[int, int], norm: str = 'ortho',
                dtype=jnp.float32) -> jnp.ndarray:
     """Inverse of rfft2_dft: (B, H, W//2+1, C) re/im -> (B, H, W, C) real.
     H-axis inverse uses conj(D) (D symmetric unitary for ortho)."""
+    if PACKED_DFT:
+        return irfft2_dft_packed(fr, fi, s, norm=norm, dtype=dtype)
     h, w = s
     hr, hi = _dft_mats(h, norm)
     inv_scale = 1.0 if norm == 'ortho' else 1.0 / h
@@ -107,3 +111,61 @@ def irfft2_dft(fr, fi, s: Tuple[int, int], norm: str = 'ortho',
 def use_dft_for(h: int, w: int) -> bool:
     """Heuristic: dense DFT wins on the MXU up to ~256-point transforms."""
     return max(h, w) <= 256
+
+
+# ---------------------------------------------------------------------------
+# Packed-complex DFT variant.
+#
+# The einsums above contract K=64 and emit N∈{33,64} at LaMa's bottleneck
+# (64²) — both below the 128-lane MXU tile, so each matmul runs at ≤50%
+# utilisation on both dims. Packing re/im into block matrices doubles K and N
+# to {66,128}: identical math (complex multiply written as one real matmul),
+# 4 einsums instead of 12, full-tile shapes on the H stages. The cost is one
+# explicit repack (axis-1 halves → axis-2 concat) per transform; whether the
+# shape win survives XLA's concat handling is an empirical question — gated
+# on PACKED_DFT and measured on-chip before becoming the default.
+# ---------------------------------------------------------------------------
+PACKED_DFT = False  # flip after an on-chip measurement (see probes/)
+
+
+@lru_cache(maxsize=64)
+def _packed_fwd_mats(h: int, w: int, norm: str):
+    hr, hi = _dft_mats(h, norm)
+    p1 = np.concatenate([hr, hi], axis=1)            # (h, 2h): [Hr | Hi]
+    wr, wi = _rdft_mats(w, norm)
+    p2 = np.block([[wr, wi], [-wi, wr]])             # (2w, 2f): cols [zr | zi]
+    return p1, p2
+
+
+@lru_cache(maxsize=64)
+def _packed_inv_mats(h: int, w: int, norm: str):
+    hr, hi = _dft_mats(h, norm)
+    inv_scale = 1.0 if norm == 'ortho' else 1.0 / h
+    ihr, ihi = hr.T * inv_scale, -hi.T * inv_scale
+    p3 = np.block([[ihr, ihi], [-ihi, ihr]])         # (2h, 2h)
+    cr, ci = _irdft_mats(w, norm)
+    p4 = np.concatenate([cr, ci], axis=0)            # (2f, w)
+    return p3, p4
+
+
+def rfft2_dft_packed(x, norm: str = 'ortho', dtype=jnp.float32):
+    """rfft2 via packed-complex matmuls: H-DFT (real in, re/im packed on the
+    output axis) then W-rDFT (re/im packed on the contraction axis)."""
+    _, h, w, _ = x.shape
+    p1, p2 = _packed_fwd_mats(h, w, norm)
+    y = _es('bhwc,hp->bpwc', x, p1, dtype)           # (b, 2h, w, c)
+    y2 = jnp.concatenate([y[:, :h], y[:, h:]], axis=2)   # (b, h, 2w, c)
+    z = _es('bhqc,qp->bhpc', y2, p2, dtype)          # (b, h, 2f, c)
+    nf = w // 2 + 1
+    return z[:, :, :nf], z[:, :, nf:]
+
+
+def irfft2_dft_packed(fr, fi, s: Tuple[int, int], norm: str = 'ortho',
+                      dtype=jnp.float32):
+    """Inverse of rfft2_dft via packed-complex matmuls (H-inverse first)."""
+    h, w = s
+    p3, p4 = _packed_inv_mats(h, w, norm)
+    f = jnp.concatenate([fr, fi], axis=1)            # (b, 2h, f, c)
+    g = _es('bqfc,qp->bpfc', f, p3, dtype)           # (b, 2h, f, c)
+    g2 = jnp.concatenate([g[:, :h], g[:, h:]], axis=2)   # (b, h, 2f, c)
+    return _es('bhqc,qw->bhwc', g2, p4, dtype)       # (b, h, w, c)

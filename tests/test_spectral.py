@@ -1,0 +1,113 @@
+"""Parity tests for the DFT-as-matmul spectral engine (ops/spectral.py),
+including the packed-complex variant (block-matrix re/im packing for full
+MXU tile shapes). Reference semantics: torch.fft.rfftn/irfftn with
+norm='ortho' (reference ffc.py:86,108), matched here against jnp.fft.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lama_tpu.ops import spectral
+
+
+@pytest.fixture
+def x():
+    rng = np.random.RandomState(0)
+    return jnp.asarray(rng.randn(2, 16, 16, 6).astype(np.float32))
+
+
+@pytest.mark.parametrize('norm', ['ortho', 'backward'])
+def test_rfft2_dft_matches_fft(x, norm):
+    fr, fi = spectral.rfft2_dft(x, norm=norm)
+    ref = jnp.fft.rfft2(x, axes=(1, 2), norm=norm)
+    np.testing.assert_allclose(fr, ref.real, atol=1e-4)
+    np.testing.assert_allclose(fi, ref.imag, atol=1e-4)
+
+
+@pytest.mark.parametrize('norm', ['ortho', 'backward'])
+def test_packed_rfft2_matches_unpacked(x, norm):
+    fr, fi = spectral.rfft2_dft(x, norm=norm)
+    pr, pi = spectral.rfft2_dft_packed(x, norm=norm)
+    np.testing.assert_allclose(pr, fr, atol=1e-4)
+    np.testing.assert_allclose(pi, fi, atol=1e-4)
+
+
+@pytest.mark.parametrize('norm', ['ortho', 'backward'])
+def test_packed_irfft2_roundtrip(x, norm):
+    fr, fi = spectral.rfft2_dft_packed(x, norm=norm)
+    out = spectral.irfft2_dft_packed(fr, fi, s=x.shape[1:3], norm=norm)
+    np.testing.assert_allclose(out, x, atol=1e-4)
+
+
+def test_packed_irfft2_matches_unpacked(x):
+    # irfft of a spectrum that is NOT the transform of a real signal —
+    # exercises the hermitian double-count weights identically on both paths
+    rng = np.random.RandomState(1)
+    fr = jnp.asarray(rng.randn(2, 16, 9, 6).astype(np.float32))
+    fi = jnp.asarray(rng.randn(2, 16, 9, 6).astype(np.float32))
+    a = spectral.irfft2_dft(fr, fi, s=(16, 16))
+    b = spectral.irfft2_dft_packed(fr, fi, s=(16, 16))
+    np.testing.assert_allclose(b, a, atol=1e-4)
+
+
+def test_packed_rectangular():
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, 8, 32, 3).astype(np.float32))
+    pr, pi = spectral.rfft2_dft_packed(x)
+    ref = jnp.fft.rfft2(x, axes=(1, 2), norm='ortho')
+    np.testing.assert_allclose(pr, ref.real, atol=1e-4)
+    np.testing.assert_allclose(pi, ref.imag, atol=1e-4)
+    out = spectral.irfft2_dft_packed(pr, pi, s=(8, 32))
+    np.testing.assert_allclose(out, x, atol=1e-4)
+
+
+def test_flag_dispatch(x, monkeypatch):
+    fr0, fi0 = spectral.rfft2_dft(x)
+    monkeypatch.setattr(spectral, 'PACKED_DFT', True)
+    fr1, fi1 = spectral.rfft2_dft(x)
+    out = spectral.irfft2_dft(fr1, fi1, s=x.shape[1:3])
+    np.testing.assert_allclose(fr1, fr0, atol=1e-4)
+    np.testing.assert_allclose(fi1, fi0, atol=1e-4)
+    np.testing.assert_allclose(out, x, atol=1e-4)
+
+
+def test_merge_sibling_convs_exact(monkeypatch):
+    """FFC with MERGE_SIBLING_CONVS on must match the two-conv path exactly
+    (conv is linear in the kernel's output axis)."""
+    import jax
+    from lama_tpu.models import ffc as ffc_mod
+    from lama_tpu.models.ffc import FFCResnetBlock
+
+    rng = np.random.RandomState(3)
+    block = FFCResnetBlock(dim=32, padding_type='reflect', ratio_gin=0.75,
+                           ratio_gout=0.75, enable_lfu=False)
+    xl = jnp.asarray(rng.randn(2, 16, 16, 8).astype(np.float32))
+    xg = jnp.asarray(rng.randn(2, 16, 16, 24).astype(np.float32))
+    variables = block.init(jax.random.PRNGKey(0), (xl, xg), train=False)
+    ol0, og0 = block.apply(variables, (xl, xg), train=False)
+    monkeypatch.setattr(ffc_mod, 'MERGE_SIBLING_CONVS', True)
+    ol1, og1 = block.apply(variables, (xl, xg), train=False)
+    np.testing.assert_allclose(ol1, ol0, atol=2e-5)
+    np.testing.assert_allclose(og1, og0, atol=2e-5)
+
+
+def test_spectral_concat_layout_exact(monkeypatch):
+    """FourierUnit with SPECTRAL_CONCAT_LAYOUT on must match the interleaved
+    reference layout (kernel/BN params are permuted to compensate)."""
+    import jax
+    from lama_tpu.models import ffc as ffc_mod
+    from lama_tpu.models.ffc import FourierUnit
+
+    rng = np.random.RandomState(4)
+    fu = FourierUnit(features=12)
+    x = jnp.asarray(rng.randn(2, 16, 16, 12).astype(np.float32))
+    variables = fu.init(jax.random.PRNGKey(0), x, train=False)
+    # randomise BN stats/params so the permutation is actually exercised
+    variables = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(rng.randn(*v.shape).astype(np.float32) * 0.5 + 1.0),
+        variables)
+    y0 = fu.apply(variables, x, train=False)
+    monkeypatch.setattr(ffc_mod, 'SPECTRAL_CONCAT_LAYOUT', True)
+    y1 = fu.apply(variables, x, train=False)
+    np.testing.assert_allclose(y1, y0, atol=2e-5)
