@@ -38,8 +38,10 @@ from ..ops.resize import interpolate
 
 Dtype = Any
 
-# merge convl2l+convl2g (shared input) into one wider conv at apply time;
-# flip only after an on-chip measurement (see probes/)
+# merge convl2l+convl2g (shared input) into one wider conv at apply time.
+# MEASURED NOISE on v5e (big-lama 512² bf16: 130.2 vs 129.6 img/s baseline,
+# probes/_t_bottleneck_variants.py) — XLA already runs the separate convs at
+# the same speed. Kept off; exact either way (tests/test_spectral.py).
 MERGE_SIBLING_CONVS = False
 
 # FourierUnit eval path: keep re/im as contiguous channel halves
@@ -47,8 +49,9 @@ MERGE_SIBLING_CONVS = False
 # interleave ([re_0, im_0, re_1, ...]). The interleave is a lane-hostile
 # (..., C, 2)->2C shuffle on TPU; the halves layout is a plain concat. Exact:
 # the 1x1 spectral conv kernel and BN params are permuted to match at apply
-# time. Flip only after an on-chip measurement (see probes/).
-SPECTRAL_CONCAT_LAYOUT = False
+# time (tests/test_spectral.py). MEASURED +12% on v5e (big-lama 512² bf16:
+# 129.6 -> 145.3 img/s, probes/_t_bottleneck_variants.py) — default ON.
+SPECTRAL_CONCAT_LAYOUT = True
 
 # Stream = Tuple[Optional[jnp.ndarray], Optional[jnp.ndarray]]  # (local, global)
 

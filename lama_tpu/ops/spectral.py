@@ -124,8 +124,14 @@ def use_dft_for(h: int, w: int) -> bool:
 # explicit repack (axis-1 halves → axis-2 concat) per transform; whether the
 # shape win survives XLA's concat handling is an empirical question — gated
 # on PACKED_DFT and measured on-chip before becoming the default.
+#
+# MEASURED NEGATIVE on v5e (big-lama 512² bf16, probes/_t_bottleneck_variants
+# .py): 129.6 -> 118.6 img/s alone; combined with the spectral concat layout
+# 145.3 -> 133.4. The axis-repack copies between the packed matmuls cost more
+# than the lane padding they remove (and XLA may re-split concat operands of
+# dots). Kept off; exact + tested either way (tests/test_spectral.py).
 # ---------------------------------------------------------------------------
-PACKED_DFT = False  # flip after an on-chip measurement (see probes/)
+PACKED_DFT = False
 
 
 @lru_cache(maxsize=64)
