@@ -32,7 +32,7 @@ from ..ops.activations import get_activation
 from ..ops.conv import Conv2d, ConvTranspose2d, avg_pool2d
 from ..ops.conv import conv2d as fconv2d
 from ..ops.geometry import rotate
-from ..ops.norm import BatchNorm
+from ..ops.norm import BatchNorm, PermutedBatchNorm
 from ..ops.pad import pad2d, reflection_pad2d
 from ..ops.resize import interpolate
 
@@ -172,7 +172,7 @@ class FourierUnit(nn.Module):
             fft = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2), norm=self.fft_norm)
             f_re, f_im = fft.real, fft.imag
         w2 = f_re.shape[2]
-        if (SPECTRAL_CONCAT_LAYOUT and not train and dft
+        if (SPECTRAL_CONCAT_LAYOUT and dft
                 and not self.spectral_pos_encoding and not self.use_se
                 and self.groups == 1
                 and self.has_variable('params', 'conv_layer')):
@@ -180,8 +180,6 @@ class FourierUnit(nn.Module):
             cdt = self._spectral_dtype()
             cout = self.features
             kern = self.get_variable('params', 'conv_layer')['kernel']
-            bnp = self.get_variable('params', 'bn')
-            bns = self.get_variable('batch_stats', 'bn')
             perm_in = _np.concatenate([_np.arange(c) * 2, _np.arange(c) * 2 + 1])
             perm_out = _np.concatenate([_np.arange(cout) * 2,
                                         _np.arange(cout) * 2 + 1])
@@ -190,10 +188,14 @@ class FourierUnit(nn.Module):
             y = jax.lax.conv_general_dilated(
                 y, kern.astype(cdt), (1, 1), 'VALID',
                 dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
-            mean, var = bns['mean'][perm_out], bns['var'][perm_out]
-            scale, bias = bnp['scale'][perm_out], bnp['bias'][perm_out]
-            y32 = (y.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + 1e-5)
-            y = jax.nn.relu(y32 * scale + bias).astype(y.dtype)
+            # BN params/stats stay stored in the reference's interleaved
+            # order; PermutedBatchNorm gathers reads / scatters stat writes
+            # (channel-vector permutes — free next to the tensor shuffle
+            # this branch removes), so train mode works here too.
+            y = PermutedBatchNorm(perm=tuple(perm_out), name='bn',
+                                  axis_name=self.bn_axis_name)(
+                y, use_running_average=not train)
+            y = jax.nn.relu(y)
             out = irfft2_dft(y[..., :cout], y[..., cout:], s=(h, w),
                              norm=self.fft_norm, dtype=cdt)
             if self.spatial_scale_factor is not None:

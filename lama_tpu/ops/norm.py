@@ -15,6 +15,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 
@@ -71,3 +72,65 @@ class BatchNorm(nn.Module):
             bias = self.param('bias', nn.initializers.zeros, (features,), self.param_dtype)
             y = y + bias
         return y.astype(self.dtype or x.dtype)
+
+
+class PermutedBatchNorm(nn.Module):
+    """BatchNorm whose STORED params/stats live in a permuted channel order
+    relative to the activations it normalises: reads gather with `perm`
+    (activation channel j corresponds to stored channel perm[j]), running-stat
+    writes scatter back with the inverse permutation. Variable names/shapes
+    are identical to `BatchNorm`, so it can be dropped onto an existing 'bn'
+    scope without touching checkpoints.
+
+    Used by FourierUnit's concat-layout spectral path (models/ffc.py): the
+    reference stores spectral BN channels per-channel interleaved
+    ([re_0, im_0, re_1, ...]); the TPU-fast activation layout is channel
+    halves ([re_*, im_*]). Channel-vector gathers are free next to the
+    full-tensor shuffle they replace.
+    """
+    perm: Any  # tuple of ints, len == features
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+    axis_name: Optional[str] = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = True):
+        features = x.shape[-1]
+        perm = np.asarray(self.perm)
+        assert perm.shape == (features,), (perm.shape, features)
+        inv = np.argsort(perm)
+        reduction_axes = tuple(range(x.ndim - 1))
+
+        ra_mean = self.variable('batch_stats', 'mean',
+                                lambda: jnp.zeros((features,), jnp.float32))
+        ra_var = self.variable('batch_stats', 'var',
+                               lambda: jnp.ones((features,), jnp.float32))
+
+        x32 = x.astype(jnp.float32)
+        if use_running_average:
+            mean, var = ra_mean.value[perm], ra_var.value[perm]
+        else:
+            mean = jnp.mean(x32, axis=reduction_axes)
+            mean2 = jnp.mean(jnp.square(x32), axis=reduction_axes)
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, axis_name=self.axis_name)
+                mean2 = jax.lax.pmean(mean2, axis_name=self.axis_name)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                n = x32.size / features
+                if self.axis_name is not None:
+                    n = n * jax.lax.psum(1, axis_name=self.axis_name)
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = ((1 - self.momentum) * ra_mean.value
+                                 + self.momentum * mean[inv])
+                ra_var.value = ((1 - self.momentum) * ra_var.value
+                                + self.momentum * unbiased[inv])
+
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        scale = self.param('scale', nn.initializers.ones, (features,),
+                           self.param_dtype)
+        bias = self.param('bias', nn.initializers.zeros, (features,),
+                          self.param_dtype)
+        y = y * scale[perm] + bias[perm]
+        return y.astype(x.dtype)

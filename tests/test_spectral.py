@@ -111,3 +111,44 @@ def test_spectral_concat_layout_exact(monkeypatch):
     monkeypatch.setattr(ffc_mod, 'SPECTRAL_CONCAT_LAYOUT', True)
     y1 = fu.apply(variables, x, train=False)
     np.testing.assert_allclose(y1, y0, atol=2e-5)
+
+
+def test_spectral_concat_layout_train_mode(monkeypatch):
+    """Concat layout in TRAIN mode: outputs, BN running-stat updates (stored
+    interleaved) and parameter gradients must all match the reference
+    interleaved path."""
+    import jax
+    from lama_tpu.models import ffc as ffc_mod
+    from lama_tpu.models.ffc import FourierUnit
+
+    rng = np.random.RandomState(5)
+    fu = FourierUnit(features=12)
+    x = jnp.asarray(rng.randn(2, 16, 16, 12).astype(np.float32))
+    variables = fu.init(jax.random.PRNGKey(0), x, train=False)
+    params, stats = variables['params'], variables['batch_stats']
+
+    def run(params, stats):
+        out, mut = fu.apply({'params': params, 'batch_stats': stats}, x,
+                            train=True, mutable=['batch_stats'])
+        return out, mut['batch_stats']
+
+    def loss(params, stats):
+        out, _ = run(params, stats)
+        return jnp.sum(out * out)
+
+    monkeypatch.setattr(ffc_mod, 'SPECTRAL_CONCAT_LAYOUT', False)
+    out0, stats0 = run(params, stats)
+    g0 = jax.grad(loss)(params, stats)
+    monkeypatch.setattr(ffc_mod, 'SPECTRAL_CONCAT_LAYOUT', True)
+    out1, stats1 = run(params, stats)
+    g1 = jax.grad(loss)(params, stats)
+
+    np.testing.assert_allclose(out1, out0, atol=2e-5)
+    for k in ('mean', 'var'):
+        np.testing.assert_allclose(stats1['bn'][k], stats0['bn'][k], atol=2e-6)
+    flat0 = jax.tree_util.tree_leaves_with_path(g0)
+    flat1 = {jax.tree_util.keystr(p): v
+             for p, v in jax.tree_util.tree_leaves_with_path(g1)}
+    for p, v in flat0:
+        np.testing.assert_allclose(flat1[jax.tree_util.keystr(p)], v,
+                                   atol=3e-4, err_msg=jax.tree_util.keystr(p))
