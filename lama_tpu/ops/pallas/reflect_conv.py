@@ -412,3 +412,86 @@ def _diff_wrap7(pallas_fn):
 reflect_conv3x3_cols_vjp = _diff_wrap(reflect_conv3x3_cols, stride=1)
 reflect_down_conv3x3_vjp = _diff_wrap(reflect_down_conv3x3, stride=2)
 reflect_out_conv7x7_vjp = _diff_wrap7(reflect_out_conv7x7)
+
+
+# ---------------------------------------------------------------------------
+# kernel 4: stride-1 3x3 reflect conv for WIDE channels via per-tap dots
+# ---------------------------------------------------------------------------
+#
+# Kernel 1's im2col form loses for C>128 (the 9C-wide scratch store traffic
+# dominates: 0.55 vs XLA's 0.44 ms at 384 channels). This variant never
+# materialises the im2col: 9 accumulated rank-3 dots (h,w,c)x(c,co) straight
+# off sublane/lane-aligned windows of the reflect-padded VMEM buffer — the
+# same per-tap-dot pattern the 7x7 out-head kernel compiles with. Targets the
+# FFC bottleneck's l2g (128->384) and g2l (384->128) convs (72 instances).
+#
+# MEASURED NEGATIVE RESULT (v5e, isolated, probes/_t_taps_conv.py, bf16
+# (16,64,64,·)): 128->384: 0.881 vs XLA-reflect 0.849 ms; 384->128: 0.967 vs
+# 0.880; 384->384: 1.806 vs 1.494. XLA's reflect conv also matches its
+# zero-pad conv at these shapes (the reflect tax concentrates at >=256²
+# spatial, not in the bottleneck), so there is nothing for a halo kernel to
+# win back here. NOT wired into ops/conv.py dispatch; kept as the
+# per-tap-dot reference implementation (interpret-parity tested).
+
+def reflect_conv3x3_taps_supported(h: int, w: int, c: int, c_out: int) -> bool:
+    if c % 128 or c_out % 128:
+        return False
+    if c == 128 and c_out == 128:
+        return False  # kernel 1 (im2col) measured faster at that shape
+    if h < 8 or w < 8:
+        return False
+    bytes_needed = ((h + 2) * (w + 2) * c * 2 * 2   # in block + padded buf
+                    + h * w * c_out * 4             # f32 acc
+                    + 2 * h * w * c_out * 2)        # out block (dbl buffered)
+    return bytes_needed < 100 * 1024 * 1024
+
+
+def _taps_kernel(x_ref, w_ref, b_ref, o_ref, *, dtype, use_bias):
+    h, w, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+    p = _reflect_pad_hw(x_ref[0]).astype(dtype)
+    acc = None
+    for ky in range(3):
+        for kx in range(3):
+            win = p[ky:ky + h, kx:kx + w, :]
+            t = jax.lax.dot_general(win, w_ref[ky, kx].astype(dtype),
+                                    (((2,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            acc = t if acc is None else acc + t
+    if use_bias:
+        acc = acc + b_ref[...].astype(jnp.float32)
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def reflect_conv3x3_taps(x, kernel, bias=None, dtype=jnp.bfloat16,
+                         interpret: bool = False):
+    """== conv2d(x, kernel, padding=1, padding_mode='reflect') [+ bias].
+    x: (B, H, W, C) NHWC; kernel: (3, 3, C, C') HWIO."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, w, c = x.shape
+    c_out = kernel.shape[-1]
+    use_bias = bias is not None
+    bias_arg = (bias if use_bias else jnp.zeros((c_out,), x.dtype))
+    out = pl.pallas_call(
+        functools.partial(_taps_kernel, dtype=dtype, use_bias=use_bias),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, h, w, c_out), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c_out), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * w * 9 * c * c_out,
+            bytes_accessed=b * h * w * (c + c_out) * 2 + 9 * c * c_out * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(x.astype(dtype), kernel.astype(dtype), bias_arg)
+    return out
+
+
+reflect_conv3x3_taps_vjp = _diff_wrap(reflect_conv3x3_taps, stride=1)

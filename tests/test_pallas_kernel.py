@@ -198,3 +198,29 @@ def test_halo_conv_tiled_matches_torch_reflect(rng, k, s, h, w, c, co):
                                   dtype=jnp.float32, interpret=True)
     np.testing.assert_allclose(np.transpose(np.asarray(out), (0, 3, 1, 2)),
                                ref, rtol=1e-4, atol=1e-4)
+
+
+def test_reflect_conv3x3_taps_interpret_parity(rng):
+    """per-tap-dot wide-channel reflect conv (interpret mode) == reflect pad
+    + conv, with and without bias."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from lama_tpu.ops.pad import pad2d
+    from lama_tpu.ops.pallas.reflect_conv import (reflect_conv3x3_taps,
+                                                  reflect_conv3x3_taps_supported)
+
+    x = jnp.asarray(rng.randn(2, 16, 16, 256).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 256, 128).astype(np.float32) * 0.05)
+    bias = jnp.asarray(rng.randn(128).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        pad2d(x, ((1, 1), (1, 1)), mode='reflect'), k, (1, 1),
+        ((0, 0), (0, 0)), dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    out = reflect_conv3x3_taps(x, k, dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+    out_b = reflect_conv3x3_taps(x, k, bias=bias, dtype=jnp.float32,
+                                 interpret=True)
+    np.testing.assert_allclose(out_b, ref + bias, atol=1e-4)
+    assert reflect_conv3x3_taps_supported(64, 64, 384, 128)
+    assert not reflect_conv3x3_taps_supported(64, 64, 128, 128)  # kernel 1's
+    assert not reflect_conv3x3_taps_supported(64, 64, 192, 128)

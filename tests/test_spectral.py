@@ -152,3 +152,47 @@ def test_spectral_concat_layout_train_mode(monkeypatch):
     for p, v in flat0:
         np.testing.assert_allclose(flat1[jax.tree_util.keystr(p)], v,
                                    atol=3e-4, err_msg=jax.tree_util.keystr(p))
+
+
+def test_permuted_batchnorm_pmean_matches_batchnorm():
+    """PermutedBatchNorm with axis_name must agree with BatchNorm's SyncBN
+    path (identity permutation) and with the permuted-storage contract."""
+    import jax
+    from functools import partial
+    from lama_tpu.ops.norm import BatchNorm, PermutedBatchNorm
+
+    rng = np.random.RandomState(6)
+    n_dev = jax.device_count()
+    c = 8
+    x = jnp.asarray(rng.randn(n_dev, 2, 4, 4, c).astype(np.float32))
+    perm = tuple(np.random.RandomState(7).permutation(c).tolist())
+    inv = tuple(np.argsort(perm).tolist())
+
+    bn = BatchNorm(axis_name='d')
+    # input below is channel-indexed by `inv` (activation j = original
+    # channel inv[j]), so the module's perm must be `inv` for stats to land
+    # in original-channel storage order
+    pbn = PermutedBatchNorm(perm=inv, axis_name='d')
+    v_bn = bn.init(jax.random.PRNGKey(0), x[0], use_running_average=True)
+    # permuted storage: stored[k] corresponds to activation channel inv[k]
+    v_pbn = jax.tree_util.tree_map(lambda a: a, v_bn)
+
+    def run_bn(xs):
+        out, mut = bn.apply(v_bn, xs, use_running_average=False,
+                            mutable=['batch_stats'])
+        return out, mut['batch_stats']
+
+    def run_pbn(xs):
+        out, mut = pbn.apply(v_pbn, xs[..., jnp.asarray(inv)],
+                             use_running_average=False,
+                             mutable=['batch_stats'])
+        return out[..., jnp.asarray(perm)], mut['batch_stats']
+
+    out0, st0 = jax.pmap(run_bn, axis_name='d')(x)
+    out1, st1 = jax.pmap(run_pbn, axis_name='d')(x)
+    # pbn input was channel-permuted by inv, so activation channel j of the
+    # pbn call is bn channel inv[j]; stored stats must then EQUAL bn's
+    # (storage order is the original channel order).
+    np.testing.assert_allclose(out1, out0, atol=1e-5)
+    np.testing.assert_allclose(st1['mean'], st0['mean'], atol=1e-5)
+    np.testing.assert_allclose(st1['var'], st0['var'], atol=1e-5)
