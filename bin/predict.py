@@ -104,6 +104,28 @@ def main(argv):
     if use_refine:
         from lama_tpu.evaluation.refinement import refine_predict
 
+    # batch_size > 1 (throughput serving): images are grouped by their
+    # bucketed shape and run through ONE jitted program per (shape, batch)
+    # — the reference is strictly batch-1 (predict.py:67-94). Short final
+    # groups are padded by repeating the last item so the program count
+    # stays one per bucket shape. Refine mode stays batch-1 (per-image
+    # pyramid geometry).
+    batch_size = 1 if use_refine else max(1, int(predict_config.get('batch_size', 1)))
+    groups = {}
+
+    def flush(entries):
+        n = len(entries)
+        imgs = [e['image'] for e in entries]
+        masks = [e['mask'] for e in entries]
+        if n < batch_size:  # pad with repeats; extras dropped after predict
+            imgs = imgs + [imgs[-1]] * (batch_size - n)
+            masks = masks + [masks[-1]] * (batch_size - n)
+        out = np.asarray(predict_fn(
+            variables, jnp.asarray(np.stack(imgs)),
+            jnp.asarray((np.stack(masks) > 0).astype(np.float32))))
+        for e, res in zip(entries, out[:n]):
+            save_image(e['out_fname'], res[:e['orig_h'], :e['orig_w']])
+
     for img_i in range(len(dataset)):
         mask_fname = dataset.mask_filenames[img_i]
         cur_out_fname = os.path.join(
@@ -124,20 +146,31 @@ def main(argv):
             image = np.pad(image, ((0, pad_h), (0, pad_w), (0, 0)), mode='symmetric')
             mask = np.pad(mask, ((0, pad_h), (0, pad_w), (0, 0)), mode='symmetric')
 
-        batch_img = jnp.asarray(image[None])
-        batch_mask = jnp.asarray((mask[None] > 0).astype(np.float32))
-
         if use_refine:
+            batch_img = jnp.asarray(image[None])
+            batch_mask = jnp.asarray((mask[None] > 0).astype(np.float32))
             res = refine_predict(batch_img, batch_mask, generator, variables,
                                  unpad_to_size=(int(orig_h), int(orig_w)),
                                  **dict(predict_config.refiner))
             res = np.asarray(res[0])
             orig_h, orig_w = res.shape[:2]  # refiner may rescale under px_budget
-        else:
-            res = np.asarray(predict_fn(variables, batch_img, batch_mask)[0])
+            save_image(cur_out_fname, res[:orig_h, :orig_w])
+            continue
 
-        res = res[:orig_h, :orig_w]
-        save_image(cur_out_fname, res)
+        entry = dict(image=image, mask=mask, out_fname=cur_out_fname,
+                     orig_h=int(orig_h), orig_w=int(orig_w))
+        if batch_size == 1:
+            flush([entry])
+        else:
+            pending = groups.setdefault((bh, bw), [])
+            pending.append(entry)
+            if len(pending) >= batch_size:
+                flush(pending)
+                pending.clear()
+
+    for pending in groups.values():
+        if pending:
+            flush(pending)
 
     LOGGER.info(f'Predicted {len(dataset)} images to {predict_config.outdir}')
 

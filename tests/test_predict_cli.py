@@ -66,3 +66,34 @@ def test_predict_cli_end_to_end(tmp_path, rng):
         known = (mask[..., 0] == 0)
         np.testing.assert_allclose(out[known], img[known], atol=2 / 255)
         assert np.abs(out[~known] - img[~known]).max() > 0.02
+
+
+def test_predict_cli_batched_matches_batch1(tmp_path, rng):
+    """batch_size>1 groups same-bucket images into one program; outputs must
+    be identical to the batch-1 path (incl. the repeat-padded short group)."""
+    import subprocess
+    model_dir = make_model_dir(tmp_path)
+    indir = tmp_path / 'in'
+    indir.mkdir()
+    for i in range(3):  # 3 images, batch_size=2 -> one full + one short group
+        img = (rng.rand(72, 88, 3) * 255).astype(np.uint8)
+        mask = np.zeros((72, 88), np.uint8)
+        mask[20:40, 30:60] = 255
+        save_image(str(indir / f'img{i}.png'), img / 255.0)
+        save_image(str(indir / f'img{i}_mask001.png'),
+                   mask[..., None] / 255.0)
+
+    env = dict(os.environ, JAX_PLATFORMS='cpu')
+    outs = {}
+    for bs in (1, 2):
+        outdir = tmp_path / f'out_bs{bs}'
+        res = subprocess.run(
+            [sys.executable, os.path.join(REPO, 'bin', 'predict.py'),
+             f'model.path={tmp_path / "model"}', f'indir={indir}',
+             f'outdir={outdir}', 'device=cpu', f'batch_size={bs}'],
+            capture_output=True, text=True, env=env, cwd=REPO, timeout=600)
+        assert res.returncode == 0, res.stderr[-2000:]
+        outs[bs] = [load_image(str(outdir / f'img{i}_mask001.png'))
+                    for i in range(3)]
+    for a, b in zip(outs[1], outs[2]):
+        np.testing.assert_array_equal(a, b)
