@@ -78,4 +78,18 @@ def main():
 
 
 if __name__ == '__main__':
-    sys.exit(main())
+    import os
+    import subprocess
+    try:
+        sys.exit(main())
+    except Exception as e:  # noqa: BLE001
+        # The axon relay occasionally fails a transfer with FAILED_PRECONDITION
+        # and wedges the client process (observed 2026-08-17); one retry in a
+        # FRESH process recovers. Stdout (the JSON line) passes through.
+        if os.environ.get('LAMA_BENCH_RETRY') == '1':
+            raise
+        print(f'bench attempt failed ({type(e).__name__}: {e}); '
+              'retrying once in a fresh process', file=sys.stderr, flush=True)
+        env = dict(os.environ, LAMA_BENCH_RETRY='1')
+        sys.exit(subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                env=env).returncode)
