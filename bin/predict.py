@@ -93,12 +93,33 @@ def main(argv):
         predict_config['indir'] = predict_config.indir + '/'
     dataset = make_default_val_dataset(predict_config.indir, **dict(predict_config.dataset))
 
-    @jax.jit
-    def predict_fn(variables, image, mask):
+    def _predict(variables, image, mask):
         masked = image * (1 - mask)
         x = jnp.concatenate([masked, mask], axis=-1)
         pred = generator.apply(variables, x, train=False)
         return (mask * pred + (1 - mask) * image).astype(jnp.float32)
+
+    # spatial_shards=N splits the image H axis over N devices — the >HBM
+    # resolution serving path (2-D mesh; GSPMD inserts the conv halo
+    # exchanges and DFT collectives). Requires N local devices and H % N == 0
+    # after bucket padding; bucket is rounded up accordingly below.
+    spatial = int(predict_config.get('spatial_shards', 0) or 0)
+    if spatial > 1:
+        from lama_tpu.parallel.mesh import make_mesh, shard_predict
+        if len(jax.devices()) < spatial:
+            raise ValueError(f'spatial_shards={spatial} needs that many '
+                             f'devices; have {len(jax.devices())}')
+        mesh = make_mesh(('data', 'space'), shape=(1, spatial),
+                         devices=jax.devices()[:spatial])
+        sharded_fn, img_sharding, repl = shard_predict(_predict, mesh)
+        variables = jax.device_put(variables, repl)
+
+        def predict_fn(variables, image, mask):
+            image = jax.device_put(image, img_sharding)
+            mask = jax.device_put(mask, img_sharding)
+            return sharded_fn(variables, image, mask)
+    else:
+        predict_fn = jax.jit(_predict)
 
     use_refine = bool(predict_config.get('refine', False))
     if use_refine:
@@ -141,6 +162,8 @@ def main(argv):
         # bucket-pad so XLA reuses compiled programs across similar sizes
         bh = ceil_to(max(image.shape[0], modulo), bucket)
         bw = ceil_to(max(image.shape[1], modulo), bucket)
+        if spatial > 1:  # even H shards over the 'space' mesh axis
+            bh = ceil_to(bh, spatial)
         pad_h, pad_w = bh - image.shape[0], bw - image.shape[1]
         if pad_h or pad_w:
             image = np.pad(image, ((0, pad_h), (0, pad_w), (0, 0)), mode='symmetric')

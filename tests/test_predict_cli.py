@@ -97,3 +97,32 @@ def test_predict_cli_batched_matches_batch1(tmp_path, rng):
                     for i in range(3)]
     for a, b in zip(outs[1], outs[2]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_predict_cli_spatial_shards(tmp_path, rng):
+    """spatial_shards=2 shards the image H axis over the virtual CPU mesh;
+    output must match the unsharded run."""
+    import subprocess
+    model_dir = make_model_dir(tmp_path)
+    indir = tmp_path / 'in'
+    indir.mkdir()
+    img = (rng.rand(72, 88, 3) * 255).astype(np.uint8)
+    mask = np.zeros((72, 88), np.uint8)
+    mask[20:40, 30:60] = 255
+    save_image(str(indir / 'img0.png'), img / 255.0)
+    save_image(str(indir / 'img0_mask001.png'), mask[..., None] / 255.0)
+
+    env = dict(os.environ, JAX_PLATFORMS='cpu',
+               XLA_FLAGS=os.environ.get('XLA_FLAGS', '')
+               + ' --xla_force_host_platform_device_count=2')
+    outs = {}
+    for shards in (0, 2):
+        outdir = tmp_path / f'out_s{shards}'
+        res = subprocess.run(
+            [sys.executable, os.path.join(REPO, 'bin', 'predict.py'),
+             f'model.path={tmp_path / "model"}', f'indir={indir}',
+             f'outdir={outdir}', 'device=cpu', f'spatial_shards={shards}'],
+            capture_output=True, text=True, env=env, cwd=REPO, timeout=600)
+        assert res.returncode == 0, res.stderr[-2000:]
+        outs[shards] = load_image(str(outdir / 'img0_mask001.png'))
+    np.testing.assert_allclose(outs[2], outs[0], atol=2e-2)
