@@ -94,3 +94,33 @@ def test_sharded_train_step_on_mesh(rng, cpu_mesh_devices):
     assert np.isfinite(float(metrics['gen_total']))
     assert np.isfinite(float(metrics['discr_total']))
     assert int(new_state.step) == 1
+
+
+def test_train_step_with_resnet_pl(rng):
+    """The honest training protocol includes ResNetPL weight 30 in the G
+    loss (reference trainers/default.py:129-132); run the fused step with a
+    random-weight encoder and check the term enters the total and training
+    still updates both players."""
+    from lama_tpu.losses.perceptual import ResNetPL
+
+    gen, disc, g_tx, d_tx, _ = build_step()
+    adv = make_discrim_loss('r1', weight=10, gp_coef=0.001,
+                            mask_as_fake_target=True, allow_scale_mask=True)
+    pl = ResNetPL(weights_path=None, allow_random_weights=True)
+    step = InpaintingTrainStep(gen, disc, adv, g_tx, d_tx,
+                               loss_config=LossConfig(resnet_pl_weight=30.0),
+                               ema=EMAConfig(enabled=False),
+                               perceptual_fn=pl)
+    batch = make_batch(rng, b=2, size=64)  # resnet needs >=64px for 4 stages
+    state = create_train_state(jax.random.PRNGKey(0), gen, disc, batch,
+                               g_tx, d_tx, use_ema=False)
+    state2, metrics = jax.jit(step)(state, batch, jax.random.PRNGKey(0))
+    m = {k: float(v) for k, v in metrics.items()}
+    assert np.isfinite(m['gen_resnet_pl']) and m['gen_resnet_pl'] > 0
+    assert m['gen_total'] >= m['gen_resnet_pl']
+    # generator actually moved under the PL-augmented loss
+    moved = jax.tree_util.tree_reduce(
+        lambda acc, pair: acc or bool(np.any(pair)),
+        jax.tree_util.tree_map(lambda a, b: np.asarray(a) != np.asarray(b),
+                               state.g_params, state2.g_params), False)
+    assert moved
