@@ -196,3 +196,17 @@ def test_permuted_batchnorm_pmean_matches_batchnorm():
     np.testing.assert_allclose(out1, out0, atol=1e-5)
     np.testing.assert_allclose(st1['mean'], st0['mean'], atol=1e-5)
     np.testing.assert_allclose(st1['var'], st0['var'], atol=1e-5)
+
+
+@pytest.mark.parametrize('shape', [(1, 8, 9, 3), (1, 7, 8, 3), (1, 7, 9, 3)])
+def test_packed_odd_sizes(shape):
+    """Odd H/W hit the hermitian double-count edge weights differently
+    (no shared Nyquist bin); packed and unpacked must agree with jnp.fft."""
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    pr, pi = spectral.rfft2_dft_packed(x)
+    ref = jnp.fft.rfft2(x, axes=(1, 2), norm='ortho')
+    np.testing.assert_allclose(pr, ref.real, atol=1e-4)
+    np.testing.assert_allclose(pi, ref.imag, atol=1e-4)
+    out = spectral.irfft2_dft_packed(pr, pi, s=x.shape[1:3])
+    np.testing.assert_allclose(out, x, atol=1e-4)
