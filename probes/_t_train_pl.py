@@ -21,8 +21,11 @@ from lama_tpu.losses.perceptual import ResNetPL
 from lama_tpu.training.state import create_train_state, make_optimizer
 from lama_tpu.training.step import EMAConfig, InpaintingTrainStep, LossConfig
 
+import os
+
 BATCH, SIZE, CHAIN, REPEATS = 10, 256, 8, 3
-DTYPE = jnp.bfloat16
+# LAMA_PROBE_FP32=1 measures the reference's exact fp32 protocol
+DTYPE = None if os.environ.get('LAMA_PROBE_FP32') == '1' else jnp.bfloat16
 
 
 def build_step(with_pl):
