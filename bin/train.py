@@ -28,10 +28,13 @@ LOGGER = logging.getLogger(__name__)
 def main(config_name, overrides):
     from lama_tpu.config import compose, save_config
     from lama_tpu.training.trainer import InpaintingTrainer
-    from lama_tpu.utils import handle_deterministic_config, register_debug_signal_handlers
+    from lama_tpu.utils import (enable_compilation_cache,
+                                handle_deterministic_config,
+                                register_debug_signal_handlers)
 
     logging.basicConfig(level=logging.INFO)
     register_debug_signal_handlers()
+    enable_compilation_cache()
 
     config_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                               'configs', 'training')
@@ -59,8 +62,7 @@ def main(config_name, overrides):
                 lambda m: datetime.datetime.now().strftime(m.group(1)), template)
             run_dir = (run_dir
                        .replace('${hydra:job.name}', 'train')
-                       .replace('${hydra:job.config_name}', config_name)
-                       .replace('${env:USER}', getpass.getuser()))
+                       .replace('${hydra:job.config_name}', config_name))
     if not run_dir:
         out_root = config.select('location.out_root_dir') or os.getcwd()
         stamp = datetime.datetime.now().strftime('%Y-%m-%d_%H-%M-%S')

@@ -41,17 +41,38 @@ class ADE20kPanopticPredictor:
 
     def __init__(self, weights_path: Optional[str] = None,
                  segmentation_module=None, min_instance_area: float = 1e-3,
-                 arch_encoder: str = 'resnet50dilated'):
+                 arch_encoder: str = 'resnet50dilated',
+                 allow_random_weights: bool = False):
         self._module = segmentation_module
         self.weights_path = weights_path if weights_path is not None \
             else os.environ.get('TORCH_HOME')
         self.min_instance_area = min_instance_area
         self.arch_encoder = arch_encoder
+        self.allow_random_weights = allow_random_weights
         self.thing_ids = ade20k_thing_class_ids()
+
+    def _resolved_encoder_path(self) -> Optional[str]:
+        wp = self.weights_path
+        if not wp:
+            return None
+        enc = wp if wp.endswith('.pth') else os.path.join(
+            wp, 'ade20k', f'ade20k-{self.arch_encoder}-ppm_deepsup',
+            'encoder_epoch_20.pth')
+        return enc if os.path.exists(enc) else None
 
     @property
     def module(self):
         if self._module is None:
+            # loud-fail policy (same as losses/perceptual.py ResNetPL): object
+            # placements from a randomly-initialised segmenter are arbitrary,
+            # so require real weights unless the caller explicitly opts out
+            if self._resolved_encoder_path() is None and not self.allow_random_weights:
+                raise RuntimeError(
+                    f'ADE20k segmenter weights not found under '
+                    f'{self.weights_path!r} (set $TORCH_HOME or weights_path; '
+                    'see fetch_data/). Object-shaped masks from RANDOM weights '
+                    'are arbitrary — pass allow_random_weights=True to the '
+                    'predictor only for pipeline smoke tests.')
             from ..models.aux.segmentation import SegmentationModule
             self._module = SegmentationModule(weights_path=self.weights_path,
                                               arch_encoder=self.arch_encoder)

@@ -53,6 +53,13 @@ MERGE_SIBLING_CONVS = False
 # 129.6 -> 145.3 img/s, probes/_t_bottleneck_variants.py) — default ON.
 SPECTRAL_CONCAT_LAYOUT = True
 
+# Eval-only: fold spectral BN (running stats) into the 1×1 frequency conv
+# kernel + bias (VERDICT r2 item 2 suggestion). Exact up to bf16 kernel
+# rounding in the bf16 bench path; fp32 path unchanged numerics. Gated for
+# on-chip measurement (round-1's generator-wide BN pre-fold was a measured
+# NEGATIVE — this narrower version touches only the 36 spectral BNs).
+SPECTRAL_FOLD_BN = False
+
 # Stream = Tuple[Optional[jnp.ndarray], Optional[jnp.ndarray]]  # (local, global)
 
 
@@ -121,7 +128,7 @@ class FourierUnit(nn.Module):
     spatial_scale_mode: str = 'bilinear'
     spectral_pos_encoding: bool = False
     use_se: bool = False
-    ffc3d: bool = False  # accepted for API parity; 3-D FFT not used by shipped configs
+    ffc3d: bool = False  # 3-D FFT over (C, H, W) — reference ffc.py:85,106-107
     fft_norm: str = 'ortho'
     use_dft_matmul: Optional[bool] = None  # None = auto (MXU DFT for small dims)
     # opt-in fully-fused Pallas kernel for the eval path (measured slower than
@@ -151,7 +158,7 @@ class FourierUnit(nn.Module):
 
         b, h, w, c = x.shape
         if (self.use_pallas_fused and not train and not self.spectral_pos_encoding
-                and not self.use_se and self.groups == 1
+                and not self.use_se and self.groups == 1 and not self.ffc3d
                 and self.has_variable('params', 'conv_layer')):
             # opt-in fused kernel: reuses the SAME parameters the XLA path
             # creates ('conv_layer'/'bn'); at init the variables don't exist
@@ -165,12 +172,22 @@ class FourierUnit(nn.Module):
                                      norm=self.fft_norm,
                                      dtype=self._spectral_dtype())
             return out.astype(orig_dtype)
-        dft = self.use_dft_matmul if self.use_dft_matmul is not None else use_dft_for(h, w)
-        if dft:
-            f_re, f_im = rfft2_dft(x, norm=self.fft_norm, dtype=self._spectral_dtype())
-        else:
-            fft = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2), norm=self.fft_norm)
+        if self.ffc3d:
+            # torch.fft.rfftn(x, dim=(-3, -2, -1)) over NCHW = full FFT over
+            # (C, H), real FFT over W; NHWC axes (3, 1, 2) keep W the real
+            # axis, so the frequency tensor stays (B, H, W2, C) and the
+            # interleave packing below is unchanged (reference ffc.py:85-89).
+            dft = False
+            fft = jnp.fft.rfftn(x.astype(jnp.float32), axes=(3, 1, 2),
+                                norm=self.fft_norm)
             f_re, f_im = fft.real, fft.imag
+        else:
+            dft = self.use_dft_matmul if self.use_dft_matmul is not None else use_dft_for(h, w)
+            if dft:
+                f_re, f_im = rfft2_dft(x, norm=self.fft_norm, dtype=self._spectral_dtype())
+            else:
+                fft = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2), norm=self.fft_norm)
+                f_re, f_im = fft.real, fft.imag
         w2 = f_re.shape[2]
         if (SPECTRAL_CONCAT_LAYOUT and dft
                 and not self.spectral_pos_encoding and not self.use_se
@@ -185,16 +202,30 @@ class FourierUnit(nn.Module):
                                         _np.arange(cout) * 2 + 1])
             kern = kern[:, :, perm_in][:, :, :, perm_out]
             y = jnp.concatenate([f_re, f_im], axis=-1).astype(cdt)
-            y = jax.lax.conv_general_dilated(
-                y, kern.astype(cdt), (1, 1), 'VALID',
-                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
-            # BN params/stats stay stored in the reference's interleaved
-            # order; PermutedBatchNorm gathers reads / scatters stat writes
-            # (channel-vector permutes — free next to the tensor shuffle
-            # this branch removes), so train mode works here too.
-            y = PermutedBatchNorm(perm=tuple(perm_out), name='bn',
-                                  axis_name=self.bn_axis_name)(
-                y, use_running_average=not train)
+            if SPECTRAL_FOLD_BN and not train:
+                # eval: fold BN (running stats) into the 1×1 kernel + a bias
+                # add — the BN op disappears from the activation path
+                bn_p = self.get_variable('params', 'bn')
+                bn_s = self.get_variable('batch_stats', 'bn')
+                mult = (bn_p['scale'][perm_out]
+                        * jax.lax.rsqrt(bn_s['var'][perm_out] + 1e-5))
+                shift = (bn_p['bias'][perm_out]
+                         - bn_s['mean'][perm_out] * mult)
+                y = jax.lax.conv_general_dilated(
+                    y, (kern * mult[None, None, None, :]).astype(cdt), (1, 1),
+                    'VALID', dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+                y = y.astype(jnp.float32) + shift[None, None, None, :]
+            else:
+                y = jax.lax.conv_general_dilated(
+                    y, kern.astype(cdt), (1, 1), 'VALID',
+                    dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+                # BN params/stats stay stored in the reference's interleaved
+                # order; PermutedBatchNorm gathers reads / scatters stat writes
+                # (channel-vector permutes — free next to the tensor shuffle
+                # this branch removes), so train mode works here too.
+                y = PermutedBatchNorm(perm=tuple(perm_out), name='bn',
+                                      axis_name=self.bn_axis_name)(
+                    y, use_running_average=not train)
             y = jax.nn.relu(y)
             out = irfft2_dft(y[..., :cout], y[..., cout:], s=(h, w),
                              norm=self.fft_norm, dtype=cdt)
@@ -221,7 +252,13 @@ class FourierUnit(nn.Module):
         y = jax.nn.relu(y)
 
         y = y.reshape(b, h, w2, self.features, 2)
-        if dft:
+        if self.ffc3d:
+            # s mirrors the reference's `x.shape[-3:]` (INPUT channel count;
+            # in every FourierUnit call site features == c) — ffc.py:106-107
+            fft_out = jax.lax.complex(y[..., 0], y[..., 1])
+            out = jnp.fft.irfftn(fft_out, s=(c, h, w), axes=(3, 1, 2),
+                                 norm=self.fft_norm)
+        elif dft:
             out = irfft2_dft(y[..., 0], y[..., 1], s=(h, w), norm=self.fft_norm,
                              dtype=self._spectral_dtype())
         else:

@@ -137,7 +137,11 @@ class InpaintingTrainer:
         self.rescale_size_getter = get_ramp(**dict(rs_kwargs)) if rs_kwargs else None
         cac = tm.get('const_area_crop_kwargs', None)
         self.const_area_crop_kwargs = dict(cac) if cac else None
-        self._host_rng = np.random.RandomState(int(config.get('seed', 0) or 0))
+        # per-host crop/rescale RNG: fold in process_index so each host draws
+        # its own crops (matching the reference's per-rank DDP workers) while
+        # staying deterministic per (seed, host)
+        self._host_rng = np.random.RandomState(
+            int(config.get('seed', 0) or 0) + 7919 * jax.process_index())
 
         # fake-fakes discriminator regularisation (default.py:43-45)
         fake_fakes_proba = float(tm.get('fake_fakes_proba', 0) or 0)
@@ -220,7 +224,10 @@ class InpaintingTrainer:
         try:
             from tensorboardX import SummaryWriter
             self.tb = SummaryWriter(os.path.join(run_dir, 'tb'))
-        except Exception:
+        except Exception as ex:
+            LOGGER.warning(f'TensorBoard logging DISABLED (tensorboardX '
+                           f'unavailable: {ex}); scalars will only appear in '
+                           'the run log.')
             self.tb = None
         self.log_every_n_steps = int(_get(config, 'trainer.kwargs.log_every_n_steps', 250))
 

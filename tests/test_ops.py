@@ -140,3 +140,39 @@ def test_pad2d_matches_torch(rng):
         out = pad2d(to_nhwc(x), ((3, 3), (2, 2)), mode=jmode)
         np.testing.assert_allclose(from_nhwc(out), ref, rtol=1e-6, atol=1e-6)
 
+
+
+def test_batchnorm_global_stats_under_sharded_batch(rng):
+    """Pins the train-time BN divergence documented in docs/MIGRATION.md:
+    under jit + GSPMD with the batch axis sharded over the mesh, batch
+    statistics are computed over the GLOBAL batch (sync-BN semantics), i.e.
+    identical to the unsharded single-device result — NOT the reference's
+    per-device DDP statistics."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    x = rng.randn(8, 4, 4, 6).astype(np.float32)
+    bn = BatchNorm()
+    variables = bn.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                        use_running_average=False)
+
+    def step(v, xx):
+        return bn.apply(v, xx, use_running_average=False,
+                        mutable=['batch_stats'])
+
+    # unsharded ground truth
+    y_ref, upd_ref = jax.jit(step)(variables, jnp.asarray(x))
+
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=('data',))
+    xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P('data')))
+    vs = jax.device_put(variables, NamedSharding(mesh, P()))
+    y_sh, upd_sh = jax.jit(step)(vs, xs)
+
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(upd_sh['batch_stats']['mean']),
+        np.asarray(upd_ref['batch_stats']['mean']), rtol=1e-6, atol=1e-6)
+    # and the global mean really is the full-batch mean
+    np.testing.assert_allclose(
+        np.asarray(upd_sh['batch_stats']['mean']),
+        0.9 * 0 + 0.1 * x.mean(axis=(0, 1, 2)), rtol=1e-5, atol=1e-6)

@@ -115,3 +115,22 @@ def test_ffc_discriminator_matches_reference(rng):
     np.testing.assert_allclose(from_nhwc(score), ref_score.numpy(),
                                rtol=1e-3, atol=3e-4)
     assert len(feats) == len(ref_feats)
+
+
+def test_fourier_unit_ffc3d_matches_reference(rng):
+    """ffc3d=True: 3-D FFT over (C, H, W) — reference ffc.py:85,106-107."""
+    from saicinpainting.training.modules.ffc import FourierUnit as RefFU
+    from lama_tpu.models.ffc import FourierUnit
+    from lama_tpu.training.convert import torch_to_flax
+
+    c = 8
+    torch.manual_seed(0)
+    ref = RefFU(c, c, ffc3d=True).eval()
+    fu = FourierUnit(features=c, ffc3d=True)
+    x = rng.rand(2, c, 16, 16).astype(np.float32)
+    template = fu.init(jax.random.PRNGKey(0), to_nhwc(x), train=False)
+    variables = torch_to_flax(ref.state_dict(), template, model=fu, strict=True)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x)).numpy()
+    out = from_nhwc(fu.apply(variables, to_nhwc(x), train=False))
+    np.testing.assert_allclose(out, ref_out, rtol=1e-3, atol=2e-4)

@@ -89,7 +89,7 @@ def test_random_segmentation_mask_generator_with_default_backend():
 def test_default_backend_random_weights_runs():
     """The real SegmentationModule with RANDOM weights: labels are arbitrary
     but the full pipeline (jit forward -> instancing -> placement) must run."""
-    pred = ADE20kPanopticPredictor(weights_path=None)
+    pred = ADE20kPanopticPredictor(weights_path=None, allow_random_weights=True)
     img = np.random.RandomState(0).rand(128, 128, 3).astype(np.float32)
     panoptic, info = pred(img)
     assert panoptic.shape == (128, 128)
@@ -97,3 +97,11 @@ def test_default_backend_random_weights_runs():
     sm = SegmentationMask(predictor=pred, downsample_levels=5)
     masks = sm.get_masks(img)  # may legitimately be empty with random labels
     assert isinstance(masks, list)
+
+
+def test_default_backend_requires_real_weights():
+    """ADVICE r2: without resolvable ADE20k weights the default predictor must
+    fail loudly at module build time (not silently run with random weights)."""
+    pred = ADE20kPanopticPredictor(weights_path='/nonexistent')
+    with pytest.raises(RuntimeError, match='allow_random_weights'):
+        _ = pred.module
