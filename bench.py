@@ -34,6 +34,8 @@ REPEATS = 4
 
 def main():
     from lama_tpu.models.ffc import FFCResNetGenerator
+    from lama_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
 
     gen = FFCResNetGenerator(
         input_nc=4, output_nc=3, ngf=64, n_downsampling=3, n_blocks=18,

@@ -33,6 +33,8 @@ def main(args):
     from lama_tpu.evaluation.scores import FIDScore, LPIPSScore, SSIMScore
 
     logging.basicConfig(level=logging.INFO)
+    from lama_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     with open(args.config) as f:
         config = yaml.safe_load(f)
 

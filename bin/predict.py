@@ -44,10 +44,11 @@ def main(argv):
     from lama_tpu.models import make_generator
     from lama_tpu.training.checkpoint import load_generator_variables
     from lama_tpu.training.convert import load_torch_checkpoint
-    from lama_tpu.utils import register_debug_signal_handlers
+    from lama_tpu.utils import enable_compilation_cache, register_debug_signal_handlers
 
     logging.basicConfig(level=logging.INFO)
     register_debug_signal_handlers()
+    enable_compilation_cache()
 
     config_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                               'configs', 'prediction')
@@ -174,6 +175,7 @@ def main(argv):
             batch_mask = jnp.asarray((mask[None] > 0).astype(np.float32))
             res = refine_predict(batch_img, batch_mask, generator, variables,
                                  unpad_to_size=(int(orig_h), int(orig_w)),
+                                 mesh=mesh if spatial > 1 else None,
                                  **dict(predict_config.refiner))
             res = np.asarray(res[0])
             orig_h, orig_w = res.shape[:2]  # refiner may rescale under px_budget

@@ -101,3 +101,30 @@ def handle_ddp_subprocess():  # decorator kept for CLI-compat; multi-host JAX ne
     def main_decorator(main_func):
         return main_func
     return main_decorator
+
+
+def enable_compilation_cache(cache_dir=None):
+    """Wire jax's persistent compilation cache (VERDICT r2 item 3: cold-start
+    compiles through the axon relay cost 316-1558 s per program with no cache).
+
+    Dir precedence: explicit arg > $LAMA_COMPILATION_CACHE > ~/.cache/lama_tpu/jax.
+    Set LAMA_COMPILATION_CACHE=off to disable. Safe to call multiple times and
+    before/after backend init (jax reads the config at compile time)."""
+    import jax
+
+    env = os.environ.get('LAMA_COMPILATION_CACHE', '')
+    if env.lower() in ('off', '0', 'none', 'disable'):
+        return None
+    cache_dir = cache_dir or env or os.path.join(
+        os.path.expanduser('~'), '.cache', 'lama_tpu', 'jax')
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        # cache everything: tiny eager programs through the relay still cost
+        # seconds to compile, and disk is cheap
+        jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+    except Exception as ex:  # unsupported jax version / read-only fs
+        LOGGER.warning(f'persistent compilation cache unavailable: {ex}')
+        return None
+    return cache_dir
