@@ -161,16 +161,31 @@ def _get_image_mask_pyramid(image, mask, unpad_to_size, min_side, max_scales,
 
 def refine_predict(image, mask, generator, variables, modulo=8, n_iters=15,
                    lr=0.002, min_side=512, max_scales=3, px_budget=1800000,
-                   unpad_to_size=None, gpu_ids=None):
+                   unpad_to_size=None, gpu_ids=None, mesh=None,
+                   space_axis: str = 'space'):
     """Entry point (reference refine_predict, refinement.py:228-314).
     image: (1,H,W,3), mask: (1,H,W,1), NHWC [0,1]. Returns (1,H',W',3).
     `gpu_ids` accepted for CLI compat and ignored (no pipeline split on TPU).
+
+    `mesh`: optional jax.sharding.Mesh with a `space_axis` — shards the image
+    H axis (and therefore every activation and the Adam-optimised front
+    features z) over the mesh for >HBM resolutions. This is where the
+    reference NEEDS its multi-GPU rear pipeline (refinement.py:266-289): the
+    refiner runs at the full pre-pyramid resolution with per-iteration
+    gradients. Here GSPMD shards the whole front+Adam-loop+rear program —
+    parity-tested vs the unsharded refiner (tests/test_spatial_sharding.py).
     """
     del gpu_ids
     ekernel = _ellipse_kernel(15)
     images, masks = _get_image_mask_pyramid(
         jnp.asarray(image), jnp.asarray(mask), unpad_to_size,
         min_side, max_scales, int(px_budget))
+
+    img_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        img_sharding = NamedSharding(mesh, P(None, space_axis))
+        variables = jax.device_put(variables, NamedSharding(mesh, P()))
 
     refine_jit = jax.jit(partial(_refine_scale, generator),
                          static_argnames=('orig_shape', 'n_iters', 'lr'))
@@ -184,6 +199,11 @@ def refine_predict(image, mask, generator, variables, modulo=8, n_iters=15,
         cur_image = pad_tensor_to_modulo(cur_image, modulo)
         cur_mask = pad_tensor_to_modulo(cur_mask, modulo)
         cur_mask = (cur_mask >= 1e-8).astype(cur_image.dtype)
+        if img_sharding is not None:
+            cur_image = jax.device_put(cur_image, img_sharding)
+            cur_mask = jax.device_put(cur_mask, img_sharding)
+            if image_inpainted is not None:
+                image_inpainted = jax.device_put(image_inpainted, img_sharding)
         if image_inpainted is None:
             image_inpainted = refine_first(variables, cur_image, cur_mask)
         else:

@@ -43,3 +43,27 @@ def test_data_space_sharded_forward_matches(rng, cpu_mesh_devices):
                                rtol=1e-4, atol=1e-5)
     # result really is sharded over the space axis
     assert not out.sharding.is_fully_replicated
+
+
+def test_sharded_refinement_matches_unsharded(rng, cpu_mesh_devices):
+    """VERDICT r2 item 4: refine_predict over a (data, space) mesh — the
+    full front + Adam-loop + rear program sharded on H — must match the
+    unsharded refiner (the reference needs a multi-GPU pipeline for exactly
+    this, refinement.py:266-289)."""
+    from lama_tpu.evaluation.refinement import refine_predict
+
+    gen = FFCResNetGenerator(**TINY)
+    h, w = 64, 64
+    img = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32))
+    mask = jnp.zeros((1, h, w, 1)).at[:, 20:44, 12:52].set(1.0)
+    x = jnp.concatenate([img * (1 - mask), mask], axis=-1)
+    variables = gen.init(jax.random.PRNGKey(0), x, train=False)
+
+    kw = dict(modulo=8, n_iters=3, lr=0.002, min_side=32, max_scales=2,
+              px_budget=1 << 30)
+    ref = refine_predict(img, mask, gen, variables, **kw)
+
+    mesh = make_mesh(('data', 'space'), shape=(1, 8), devices=cpu_mesh_devices)
+    out = refine_predict(img, mask, gen, variables, mesh=mesh, **kw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
