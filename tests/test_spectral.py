@@ -210,3 +210,81 @@ def test_packed_odd_sizes(shape):
     np.testing.assert_allclose(pi, ref.imag, atol=1e-4)
     out = spectral.irfft2_dft_packed(pr, pi, s=x.shape[1:3])
     np.testing.assert_allclose(out, x, atol=1e-4)
+
+
+@pytest.mark.parametrize('norm', ['ortho', 'backward'])
+def test_stacked_rfft2_matches_unpacked(x, norm):
+    fr, fi = spectral.rfft2_dft(x, norm=norm)
+    sr, si = spectral.rfft2_dft_stacked(x, norm=norm)
+    np.testing.assert_allclose(sr, fr, atol=1e-4)
+    np.testing.assert_allclose(si, fi, atol=1e-4)
+
+
+@pytest.mark.parametrize('norm', ['ortho', 'backward'])
+def test_stacked_irfft2_roundtrip(x, norm):
+    fr, fi = spectral.rfft2_dft_stacked(x, norm=norm)
+    out = spectral.irfft2_dft_stacked(fr, fi, s=x.shape[1:3], norm=norm)
+    np.testing.assert_allclose(out, x, atol=1e-4)
+
+
+def test_stacked_irfft2_matches_unpacked(x):
+    # non-hermitian spectrum: exercises the double-count weights identically
+    rng = np.random.RandomState(1)
+    fr = jnp.asarray(rng.randn(2, 16, 9, 6).astype(np.float32))
+    fi = jnp.asarray(rng.randn(2, 16, 9, 6).astype(np.float32))
+    a = spectral.irfft2_dft(fr, fi, s=(16, 16))
+    b = spectral.irfft2_dft_stacked(fr, fi, s=(16, 16))
+    np.testing.assert_allclose(b, a, atol=1e-4)
+
+
+@pytest.mark.parametrize('shape', [(1, 8, 32, 3), (1, 8, 9, 3), (1, 7, 8, 3),
+                                   (1, 7, 9, 3)])
+def test_stacked_rect_and_odd_sizes(shape):
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    sr, si = spectral.rfft2_dft_stacked(x)
+    ref = jnp.fft.rfft2(x, axes=(1, 2), norm='ortho')
+    np.testing.assert_allclose(sr, ref.real, atol=1e-4)
+    np.testing.assert_allclose(si, ref.imag, atol=1e-4)
+    out = spectral.irfft2_dft_stacked(sr, si, s=x.shape[1:3])
+    np.testing.assert_allclose(out, x, atol=1e-4)
+
+
+def test_stacked_flag_dispatch(x, monkeypatch):
+    fr0, fi0 = spectral.rfft2_dft(x)
+    monkeypatch.setattr(spectral, 'STACKED_DFT', True)
+    fr1, fi1 = spectral.rfft2_dft(x)
+    out = spectral.irfft2_dft(fr1, fi1, s=x.shape[1:3])
+    np.testing.assert_allclose(fr1, fr0, atol=1e-4)
+    np.testing.assert_allclose(fi1, fi0, atol=1e-4)
+    np.testing.assert_allclose(out, x, atol=1e-4)
+
+
+def test_spectral_fold_bn_exact(monkeypatch):
+    """SPECTRAL_FOLD_BN folds running-stat BN into the 1x1 frequency conv at
+    eval; must match the unfolded path (fp32: exact up to rounding). Uses
+    non-trivial running stats so the fold is actually exercised."""
+    import jax
+    from lama_tpu.models import ffc as ffc_mod
+    from lama_tpu.models.ffc import FourierUnit
+
+    rng = np.random.RandomState(5)
+    fu = FourierUnit(features=12)
+    x = jnp.asarray(rng.randn(2, 16, 16, 12).astype(np.float32))
+    variables = fu.init(jax.random.PRNGKey(0), x, train=False)
+    # perturb stats/params away from the (0, 1) init
+    variables = jax.tree.map(lambda a: a, variables)
+    variables['batch_stats']['bn']['mean'] = jnp.asarray(
+        rng.randn(24).astype(np.float32) * 0.3)
+    variables['batch_stats']['bn']['var'] = jnp.asarray(
+        0.5 + rng.rand(24).astype(np.float32))
+    variables['params']['bn']['scale'] = jnp.asarray(
+        1 + 0.2 * rng.randn(24).astype(np.float32))
+    variables['params']['bn']['bias'] = jnp.asarray(
+        0.1 * rng.randn(24).astype(np.float32))
+
+    out0 = fu.apply(variables, x, train=False)
+    monkeypatch.setattr(ffc_mod, 'SPECTRAL_FOLD_BN', True)
+    out1 = fu.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out0),
+                               rtol=1e-4, atol=1e-5)
