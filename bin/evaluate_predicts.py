@@ -32,7 +32,7 @@ def main(args):
                                                lpips_fid100_f1)
     from lama_tpu.evaluation.scores import FIDScore, LPIPSScore, SSIMScore
 
-    logging.basicConfig(level=logging.INFO)
+    logging.basicConfig(level=logging.INFO, force=True)  # jax pre-configures the root logger
     from lama_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
     with open(args.config) as f:

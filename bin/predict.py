@@ -46,7 +46,7 @@ def main(argv):
     from lama_tpu.training.convert import load_torch_checkpoint
     from lama_tpu.utils import enable_compilation_cache, register_debug_signal_handlers
 
-    logging.basicConfig(level=logging.INFO)
+    logging.basicConfig(level=logging.INFO, force=True)  # jax pre-configures the root logger
     register_debug_signal_handlers()
     enable_compilation_cache()
 

@@ -32,7 +32,7 @@ def main(argv):
     from lama_tpu.models import make_generator
     from lama_tpu.training.checkpoint import load_generator_variables
 
-    logging.basicConfig(level=logging.INFO)
+    logging.basicConfig(level=logging.INFO, force=True)  # jax pre-configures the root logger
     overrides = parse_overrides(argv)
     cfg = ConfigNode({'model': {'path': None, 'checkpoint': 'best'},
                       'indir': None, 'outdir': None,

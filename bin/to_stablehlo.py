@@ -30,7 +30,7 @@ def main(argv):
     from lama_tpu.models import make_generator
     from lama_tpu.training.checkpoint import load_generator_variables
 
-    logging.basicConfig(level=logging.INFO)
+    logging.basicConfig(level=logging.INFO, force=True)  # jax pre-configures the root logger
     cfg = ConfigNode({'model': {'path': None, 'checkpoint': 'best'},
                       'outdir': None, 'height': 512, 'width': 512,
                       'device': 'tpu'})

@@ -32,7 +32,7 @@ def main(config_name, overrides):
                                 handle_deterministic_config,
                                 register_debug_signal_handlers)
 
-    logging.basicConfig(level=logging.INFO)
+    logging.basicConfig(level=logging.INFO, force=True)  # jax pre-configures the root logger
     register_debug_signal_handlers()
     enable_compilation_cache()
 

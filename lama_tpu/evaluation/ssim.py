@@ -28,9 +28,14 @@ def ssim(img1, img2, window_size: int = 11, sigma: float = 1.5,
     pad = window_size // 2
 
     def filt(x):
+        # Precision.HIGHEST is load-bearing: TPU's default precision truncates
+        # fp32 conv operands to bf16, and the E[x²]−μ² variance cancellation
+        # below then explodes on low-variance windows (observed on-chip:
+        # SSIM=23.8 for one val image in the round-3 training campaign).
         return jax.lax.conv_general_dilated(
             x.astype(jnp.float32), kernel, (1, 1), ((pad, pad), (pad, pad)),
-            feature_group_count=c, dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+            feature_group_count=c, dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            precision=jax.lax.Precision.HIGHEST)
 
     mu1, mu2 = filt(img1), filt(img2)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2

@@ -18,8 +18,22 @@ import orbax.checkpoint as ocp
 
 
 def save_pytree(path: str, tree: Any):
+    """Save a HOST-LOCAL (device_get) pytree. Multi-host: the trainer calls
+    this on rank 0 only with replicated state, so scope orbax's barrier to
+    process 0 — the default save() runs sync_global_devices across ALL
+    processes and deadlocks when the other ranks never join (surfaced by
+    tests/test_multihost.py::test_two_process_full_trainer_fit)."""
     path = os.path.abspath(path)
-    ckptr = ocp.PyTreeCheckpointer()
+    if jax.process_count() > 1:
+        mp_options = ocp.options.MultiprocessingOptions(
+            primary_host=jax.process_index(),
+            active_processes={jax.process_index()},
+            barrier_sync_key_prefix=f'proc{jax.process_index()}')
+        ckptr = ocp.Checkpointer(ocp.PyTreeCheckpointHandler(
+            multiprocessing_options=mp_options),
+            multiprocessing_options=mp_options)
+    else:
+        ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(path, tree, force=True)
 
 

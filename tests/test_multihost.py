@@ -56,3 +56,61 @@ def test_two_process_data_parallel_rehearsal(tmp_path):
     assert results[0]['g_param_fingerprint'] == results[1]['g_param_fingerprint']
     for r in results:
         assert np.isfinite(r['gen_total']) and np.isfinite(r['discr_total'])
+
+
+TRAINER_WORKER = os.path.join(REPO, 'tests', 'multihost_trainer_worker.py')
+
+
+@pytest.mark.slow
+def test_two_process_full_trainer_fit(tmp_path):
+    """VERDICT r2 item 7: a short InpaintingTrainer.fit across 2 real
+    processes x 4 CPU devices — train steps over the 8-device mesh, one
+    validation epoch, rank-0-only checkpoint writes, resume from the rank-0
+    checkpoint."""
+    import cv2
+    rng = np.random.RandomState(0)
+    os.makedirs(tmp_path / 'train')
+    os.makedirs(tmp_path / 'val')
+    # 32 images -> per-host shard 16 -> 2 batches of 8 per epoch per host
+    for i in range(32):
+        cv2.imwrite(str(tmp_path / 'train' / f't{i}.jpg'),
+                    (rng.rand(48, 48, 3) * 255).astype('uint8'))
+    from lama_tpu.data.io import save_image
+    for i in range(2):
+        img = rng.rand(32, 32, 3).astype(np.float32)
+        mask = np.zeros((32, 32, 1), np.float32)
+        mask[8:20, 8:20] = 1
+        save_image(str(tmp_path / 'val' / f'v{i}.png'), img)
+        save_image(str(tmp_path / 'val' / f'v{i}_mask.png'), mask)
+
+    port = _free_port()
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'
+    env['XLA_FLAGS'] = (env.get('XLA_FLAGS', '')
+                        + ' --xla_force_host_platform_device_count=4').strip()
+    procs = [subprocess.Popen(
+        [sys.executable, TRAINER_WORKER, '--process-id', str(i),
+         '--num-processes', '2', '--coordinator', f'localhost:{port}',
+         '--outdir', str(tmp_path)],
+        env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for i in range(2)]
+    outs = [p.communicate(timeout=1200)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f'trainer worker failed:\n{out[-6000:]}'
+
+    results = []
+    for i in range(2):
+        with open(tmp_path / f'trainer_worker{i}.json') as f:
+            results.append(json.load(f))
+
+    # both hosts took the same steps and ended with identical params
+    assert results[0]['step_after_fit'] == results[1]['step_after_fit'] == 2
+    assert (results[0]['g_param_fingerprint']
+            == results[1]['g_param_fingerprint'])
+    # resume continued from the rank-0 checkpoint on both hosts
+    assert results[0]['step_after_resume'] == results[1]['step_after_resume'] == 4
+    assert (results[0]['g_param_fingerprint_resumed']
+            == results[1]['g_param_fingerprint_resumed'])
+    # rank-0-only checkpoint writes
+    assert 'last' in results[0]['own_checkpoints']
+    assert results[1]['own_checkpoints'] == []
