@@ -339,15 +339,26 @@ class InpaintingTrainer:
         first_batch = next(iter(train_loader))
         self.init_state(first_batch, seed=int(self.config.get('seed', 0) or 0))
 
+        start_epoch = 0
         if resume_from:
             LOGGER.info(f'Resuming from {resume_from}')
             restored = restore_pytree(resume_from, jax.device_get(self.state))
             from ..parallel.mesh import put_replicated
             self.state = put_replicated(restored, self.mesh)
             self.global_step = int(np.asarray(restored.step))
+            # continue epoch numbering (Lightning resume semantics): the
+            # checkpoint manager's index records the epoch of every save
+            index_path = os.path.join(os.path.dirname(os.path.abspath(resume_from)),
+                                      'index.json')
+            if os.path.exists(index_path):
+                import json
+                with open(index_path) as f:
+                    records = json.load(f)
+                if records:
+                    start_epoch = max(r['epoch'] for r in records) + 1
 
         from ..parallel.mesh import put_batch
-        for epoch in range(self.max_epochs):
+        for epoch in range(start_epoch, self.max_epochs):
             train_loader.set_epoch(epoch)
             t_epoch = time.time()
             for batch_i, batch in enumerate(train_loader):

@@ -78,6 +78,7 @@ def main():
     rank0_last = os.path.join(args.outdir, 'run0', 'models', 'last')
     trainer2 = InpaintingTrainer(config, os.path.join(args.outdir,
                                                       f'resume{args.process_id}'))
+    trainer2.max_epochs = 2  # epoch numbering continues after resume
     state2 = trainer2.fit(resume_from=rank0_last)
     step_after_resume = int(np.asarray(state2.step))
     fp2 = float(param_fingerprint(state2.g_params))

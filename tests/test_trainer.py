@@ -128,6 +128,15 @@ def test_trainer_resume(synth_data):
     last = trainer.checkpoints.last_path()
 
     trainer2, _ = make_trainer(synth_data, 'run_b')
+    # Lightning resume semantics: epoch numbering continues and max_epochs is
+    # the TOTAL cap, so extend it to actually run another epoch
+    trainer2.max_epochs = 2
     state = trainer2.fit(resume_from=last)
-    # resumed at step 2, ran 2 more batches
+    # resumed at step 2 (epoch 1), ran 2 more batches
     assert int(np.asarray(state.step)) == 4
+    assert os.path.isdir(os.path.join(trainer2.run_dir, 'models', 'epoch1'))
+
+    # resuming a FINISHED run (same max_epochs) trains no further
+    trainer3, _ = make_trainer(synth_data, 'run_c')
+    state3 = trainer3.fit(resume_from=last)
+    assert int(np.asarray(state3.step)) == 2
