@@ -193,6 +193,11 @@ def irfft2_dft_packed(fr, fi, s: Tuple[int, int], norm: str = 'ortho',
 # Einsum count per transform pair: 12 → 7.
 # Gated on STACKED_DFT; exact (same math) and parity-tested either way
 # (tests/test_spectral.py).
+#
+# MEASURED NOISE on v5e (big-lama 512² bf16 b16, probes/_t_bottleneck_
+# variants3.py): 145.0 vs 145.1 img/s baseline — the DFT matmuls are not
+# MXU-lane-bound (HBM-bandwidth/overlap limited), so N-widening is free but
+# useless. Kept off.
 # ---------------------------------------------------------------------------
 STACKED_DFT = False
 
