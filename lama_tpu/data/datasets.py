@@ -29,18 +29,19 @@ class InpaintingTrainDataset:
     """glob **/*.jpg, decode RGB, augment, generate a mask per item with an
     iteration counter for curricula (reference datasets.py:25-45)."""
 
-    def __init__(self, indir, mask_generator, transform, rng: Optional[np.random.RandomState] = None):
+    def __init__(self, indir, mask_generator, transform,
+                 rng: Optional[np.random.RandomState] = None, seed: int = 0):
         self.in_files = sorted(glob.glob(os.path.join(indir, '**', '*.jpg'), recursive=True))
         self.mask_generator = mask_generator
         self.transform = transform
         self.iter_i = 0
+        self.seed = int(seed)
         self.rng = rng or np.random.RandomState()
 
     def __len__(self):
         return len(self.in_files)
 
-    def __getitem__(self, item) -> Dict[str, np.ndarray]:
-        path = self.in_files[item]
+    def _load(self, path, iter_i, rng):
         img = None
         if path.lower().endswith(('.jpg', '.jpeg')):
             # native libjpeg decode (GIL-free C++); cv2 fallback below
@@ -50,11 +51,25 @@ class InpaintingTrainDataset:
                     img = native.decode_jpeg(f.read())
         if img is None:
             img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
-        img = self.transform(image=img, rng=self.rng)['image']  # HWC float
+        img = self.transform(image=img, rng=rng)['image']  # HWC float
         mask = self.mask_generator((img.shape[0], img.shape[1]),
-                                   iter_i=self.iter_i, rng=self.rng)
-        self.iter_i += 1
+                                   iter_i=iter_i, rng=rng)
         return dict(image=img.astype(np.float32), mask=mask.astype(np.float32))
+
+    def __getitem__(self, item) -> Dict[str, np.ndarray]:
+        out = self._load(self.in_files[item], self.iter_i, self.rng)
+        self.iter_i += 1
+        return out
+
+    def fetch(self, item, seq: int) -> Dict[str, np.ndarray]:
+        """Thread-safe variant used by BatchLoader's worker pool: a per-call
+        RandomState derived from (seed, seq) replaces the shared sequential
+        stream of __getitem__, and the curriculum counter is the sequential
+        position `seq` assigned by the loader BEFORE parallel dispatch —
+        deterministic for any num_workers. (The reference's DataLoader worker
+        processes likewise each own an RNG stream, datasets.py:245.)"""
+        rng = np.random.RandomState((self.seed + 0x9E3779B9 * (seq + 1)) % (2 ** 32))
+        return self._load(self.in_files[item], seq, rng)
 
 
 class InpaintingTrainWebDataset:
@@ -153,6 +168,8 @@ class InpaintingDataset:
     """Fixed eval pairs: *mask*.png + <stem><img_suffix>
     (reference evaluation/data.py:58-83), HWC."""
 
+    thread_safe_getitem = True  # pure IO, no shared RNG/counters
+
     def __init__(self, datadir, img_suffix='.jpg', pad_out_to_modulo=None,
                  scale_factor=None):
         self.datadir = datadir
@@ -183,6 +200,8 @@ class InpaintingDataset:
 
 class OurInpaintingDataset:
     """Alternative mask/ img/ directory layout (reference evaluation/data.py:85-108)."""
+
+    thread_safe_getitem = True  # pure IO, no shared RNG/counters
 
     def __init__(self, datadir, img_suffix='.jpg', pad_out_to_modulo=None,
                  scale_factor=None):
@@ -355,12 +374,47 @@ class BatchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        # num_workers > 1 parallelises ITEM loads across a thread pool
+        # (cv2 / native libjpeg release the GIL) when the dataset supports
+        # it: `fetch(item, seq)` (per-item derived RNG, e.g. the train
+        # dataset) or a thread-safe pure-IO __getitem__
+        # (`thread_safe_getitem`, the eval datasets). Otherwise a single
+        # sequential producer preserves shared-RNG-stream semantics.
+        use_fetch = self.num_workers > 1 and hasattr(self.dataset, 'fetch')
+        use_pool = use_fetch or (self.num_workers > 1 and getattr(
+            self.dataset, 'thread_safe_getitem', False))
+        # sequential item position feeds curricula; advances across epochs
+        seq0 = self.epoch * len(order)
+
+        def load(i, seq):
+            return self.dataset.fetch(int(i), seq) if use_fetch \
+                else self.dataset[int(i)]
+
         def producer():
             try:
-                for batch_idx in batches:
-                    if stop.is_set():
-                        return
-                    q.put(collate([self.dataset[int(i)] for i in batch_idx]))
+                if not use_pool:
+                    for batch_idx in batches:
+                        if stop.is_set():
+                            return
+                        q.put(collate([self.dataset[int(i)] for i in batch_idx]))
+                    return
+                from collections import deque
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    inflight = deque()
+                    seq = seq0
+                    for batch_idx in batches:
+                        if stop.is_set():
+                            return
+                        inflight.append([pool.submit(load, i, seq + k)
+                                         for k, i in enumerate(batch_idx)])
+                        seq += len(batch_idx)
+                        if len(inflight) > 1:  # keep one batch of lookahead
+                            q.put(collate([f.result() for f in inflight.popleft()]))
+                    while inflight:
+                        if stop.is_set():
+                            return
+                        q.put(collate([f.result() for f in inflight.popleft()]))
             except Exception as e:  # surface worker errors to the consumer
                 q.put(e)
             finally:
