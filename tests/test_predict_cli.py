@@ -126,3 +126,36 @@ def test_predict_cli_spatial_shards(tmp_path, rng):
         assert res.returncode == 0, res.stderr[-2000:]
         outs[shards] = load_image(str(outdir / 'img0_mask001.png'))
     np.testing.assert_allclose(outs[2], outs[0], atol=2e-2)
+
+
+def test_predict_cli_refine_with_spatial_shards(tmp_path, rng):
+    """refine=true composes with spatial_shards (round 3): the per-scale Adam
+    refinement runs over the (data, space) mesh and must match the unsharded
+    refine output."""
+    model_dir = make_model_dir(tmp_path)
+    indir = tmp_path / 'data'
+    indir.mkdir()
+    h, w = 72, 64
+    img = rng.rand(h, w, 3).astype(np.float32)
+    mask = np.zeros((h, w, 1), np.float32)
+    mask[20:44, 16:48] = 1.0
+    save_image(str(indir / 'scene.png'), img)
+    save_image(str(indir / 'scene_mask.png'), mask)
+
+    import predict as predict_cli
+    refiner = ('refiner.n_iters=2', 'refiner.min_side=32',
+               'refiner.max_scales=2', 'refiner.px_budget=1000000000')
+    out_plain = tmp_path / 'out_plain'
+    predict_cli.main([f'model.path={model_dir}', f'indir={indir}',
+                      f'outdir={out_plain}', 'dataset.img_suffix=.png',
+                      'device=cpu', 'refine=true', 'precision=fp32', *refiner])
+    out_sharded = tmp_path / 'out_sharded'
+    predict_cli.main([f'model.path={model_dir}', f'indir={indir}',
+                      f'outdir={out_sharded}', 'dataset.img_suffix=.png',
+                      'device=cpu', 'refine=true', 'precision=fp32',
+                      'spatial_shards=4', *refiner])
+
+    a = load_image(str(out_plain / 'scene_mask.png'))
+    b = load_image(str(out_sharded / 'scene_mask.png'))
+    assert a.shape == b.shape
+    np.testing.assert_allclose(b, a, atol=2 / 255)
