@@ -230,6 +230,9 @@ class GlobalGenerator(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # NHWC derives channel counts from the input; check input_nc anyway so
+        # a misconfigured kind fails loudly like the torch reference would
+        assert x.shape[-1] == self.input_nc, (x.shape, self.input_nc)
         act = get_activation(self.activation)
         up_act = get_activation(self.up_activation)
         common = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
@@ -398,6 +401,7 @@ class NLayerDiscriminator(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        assert x.shape[-1] == self.input_nc, (x.shape, self.input_nc)
         kw, padw = 4, 2
         feats = []
         leaky = get_activation('leaky_relu')
@@ -441,6 +445,7 @@ class MultidilatedNLayerDiscriminator(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        assert x.shape[-1] == self.input_nc, (x.shape, self.input_nc)
         kw, padw = 4, 2
         feats = []
         leaky = get_activation('leaky_relu')
