@@ -457,13 +457,15 @@ class IterableBatchLoader:
 
 def make_default_train_dataloader(indir, kind='default', out_size=512,
                                   mask_gen_kwargs=None, transform_variant='default',
-                                  mask_generator_kind='mixed',
+                                  mask_generator_kind='mixed', seed=None,
                                   dataloader_kwargs=None, ddp_kwargs=None, **kwargs):
     """reference datasets.py:206-246."""
     LOGGER.info(f'Make train dataloader {kind} from {indir} '
                 f'(mask generator={mask_generator_kind})')
     mask_generator = get_mask_generator(kind=mask_generator_kind,
                                         kwargs=dict(mask_gen_kwargs or {}))
+    if seed is not None and kind == 'default':
+        kwargs.setdefault('seed', int(seed))  # per-item fetch RNG base
     transform = get_transforms(transform_variant, out_size)
     if kind == 'default':
         dataset = InpaintingTrainDataset(indir=indir, mask_generator=mask_generator,

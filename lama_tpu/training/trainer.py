@@ -245,6 +245,10 @@ class InpaintingTrainer:
         kwargs = dict(self.config.data.train)
         kwargs['dataloader_kwargs'] = dict(kwargs.get('dataloader_kwargs', {}))
         kwargs['dataloader_kwargs'].setdefault('batch_size', self.config.data.batch_size)
+        # thread the run seed into loader shuffling and the per-item fetch RNG
+        seed = int(self.config.get('seed', 0) or 0)
+        kwargs['dataloader_kwargs'].setdefault('seed', seed)
+        kwargs.setdefault('seed', seed)
         # proper per-host sharding (process_index); in-process devices are fed
         # by sharding the global batch over the mesh
         kwargs['ddp_kwargs'] = dict(rank=jax.process_index(),
