@@ -74,6 +74,10 @@ class CheckpointManager:
 
     def save(self, state, epoch: int, metrics: Dict[str, float]):
         value = float(metrics.get(self.monitor, float('-inf') if self.mode == 'max' else float('inf')))
+        if not np.isfinite(value):
+            # NaN/inf monitor values sort unpredictably and could be retained
+            # as "best"; rank them strictly worst instead
+            value = float('-inf') if self.mode == 'max' else float('inf')
         name = f'epoch{epoch}'
         path = os.path.join(self.directory, name)
         save_pytree(path, state)

@@ -140,3 +140,17 @@ def test_trainer_resume(synth_data):
     trainer3, _ = make_trainer(synth_data, 'run_c')
     state3 = trainer3.fit(resume_from=last)
     assert int(np.asarray(state3.step)) == 2
+
+
+def test_checkpoint_manager_nonfinite_monitor(tmp_path):
+    """NaN/inf monitor values must rank strictly worst, never 'best'."""
+    from lama_tpu.training.checkpoint import CheckpointManager
+    cm = CheckpointManager(str(tmp_path / 'models'), monitor='m', mode='max',
+                           save_top_k=2, save_last=False)
+    cm.save({'x': np.zeros(2)}, 0, {'m': float('nan')})
+    cm.save({'x': np.ones(2)}, 1, {'m': 0.5})
+    cm.save({'x': np.ones(2)}, 2, {'m': 0.7})
+    best = cm.best_path()
+    assert best is not None and best.endswith('epoch2')
+    names = {r['name'] for r in cm.records}
+    assert 'epoch0' not in names  # pruned as worst
