@@ -288,3 +288,14 @@ def test_evaluator_example(tmp_path, monkeypatch):
     import evaluator_example
     monkeypatch.chdir(tmp_path)
     evaluator_example.main()
+
+
+def test_precompile_cli(tmp_path, model_dir, monkeypatch):
+    """bin/precompile.py pre-warms the persistent compilation cache for the
+    requested bucket shapes (round-3 serving tool)."""
+    cache = tmp_path / 'cc'
+    monkeypatch.setenv('LAMA_COMPILATION_CACHE', str(cache))
+    import precompile as precompile_cli
+    precompile_cli.main([f'model.path={model_dir}', 'shapes=64x64,64x128',
+                         'batch_size=2', 'device=cpu', 'precision=fp32'])
+    assert cache.is_dir() and len(list(cache.iterdir())) >= 2
