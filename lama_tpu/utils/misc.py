@@ -124,6 +124,10 @@ def enable_compilation_cache(cache_dir=None):
         # seconds to compile, and disk is cheap
         jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+        # the cache backend initialises lazily ONCE per process; if compiles
+        # already happened with no dir configured, reset so the new dir takes
+        from jax._src import compilation_cache as _cc
+        _cc.reset_cache()
     except Exception as ex:  # unsupported jax version / read-only fs
         LOGGER.warning(f'persistent compilation cache unavailable: {ex}')
         return None
