@@ -95,6 +95,10 @@ class CheckpointManager:
             save_pytree(os.path.join(self.directory, 'last'), state)
         with open(self._index_path, 'w') as f:
             json.dump(self.records, f)
+        # record the latest epoch separately: top-k pruning may drop its
+        # entry, and resume derives its start epoch from this file
+        with open(os.path.join(self.directory, 'last_epoch.json'), 'w') as f:
+            json.dump({'epoch': epoch}, f)
 
     def best_path(self) -> Optional[str]:
         if not self.records:

@@ -350,12 +350,17 @@ class InpaintingTrainer:
             from ..parallel.mesh import put_replicated
             self.state = put_replicated(restored, self.mesh)
             self.global_step = int(np.asarray(restored.step))
-            # continue epoch numbering (Lightning resume semantics): the
-            # checkpoint manager's index records the epoch of every save
-            index_path = os.path.join(os.path.dirname(os.path.abspath(resume_from)),
-                                      'index.json')
-            if os.path.exists(index_path):
-                import json
+            # continue epoch numbering (Lightning resume semantics): prefer
+            # the manager's last_epoch marker (survives top-k pruning), fall
+            # back to the retained records
+            import json
+            ckpt_dir = os.path.dirname(os.path.abspath(resume_from))
+            last_epoch_path = os.path.join(ckpt_dir, 'last_epoch.json')
+            index_path = os.path.join(ckpt_dir, 'index.json')
+            if os.path.exists(last_epoch_path):
+                with open(last_epoch_path) as f:
+                    start_epoch = int(json.load(f)['epoch']) + 1
+            elif os.path.exists(index_path):
                 with open(index_path) as f:
                     records = json.load(f)
                 if records:
