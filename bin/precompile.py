@@ -10,8 +10,11 @@ Usage:
   python bin/precompile.py model.path=<run_dir> shapes=512x512,768x512 \
       [batch_size=16] [precision=bf16] [refine=false]
 
-`shapes` are post-bucket-padding (H x W). With refine=true, the per-scale
-refinement programs for each shape's pyramid are compiled instead.
+`shapes` are ORIGINAL image sizes (H x W). For the plain forward they are
+bucket-padded exactly as bin/predict.py pads (pad_to_bucket, default 64);
+with refine=true, the per-scale refinement programs for that original size's
+pyramid are compiled instead (the pyramid geometry depends on the original
+size, not the padded one).
 """
 import logging
 import os
@@ -30,11 +33,8 @@ def main(argv):
     import jax
     import jax.numpy as jnp
 
-    from lama_tpu.config import compose, load_yaml
-    from lama_tpu.config.node import resolve_interpolations
-    from lama_tpu.models import make_generator
-    from lama_tpu.training.checkpoint import load_generator_variables
-    from lama_tpu.training.convert import load_torch_checkpoint
+    from lama_tpu.config import compose
+    from lama_tpu.serving import load_serving_model, make_inpaint_forward
     from lama_tpu.utils import enable_compilation_cache
 
     logging.basicConfig(level=logging.INFO, force=True)
@@ -47,48 +47,46 @@ def main(argv):
     if str(cfg.get('device', 'tpu')) == 'cpu':
         jax.config.update('jax_platforms', 'cpu')
 
-    train_config = load_yaml(os.path.join(cfg.model.path, 'config.yaml'))
-    resolve_interpolations(train_config)
-    gen_kwargs = dict(train_config.generator)
-    kind = gen_kwargs.pop('kind')
-    dtype = {'bf16': jnp.bfloat16, 'fp32': jnp.float32}[cfg.get('precision', 'bf16')]
-    generator = make_generator(kind, dtype=dtype, **gen_kwargs)
-
-    ckpt = os.path.join(cfg.model.path, 'models', str(cfg.model.checkpoint))
-    if not os.path.exists(ckpt) and os.path.isdir(os.path.splitext(ckpt)[0]):
-        ckpt = os.path.splitext(ckpt)[0]
-    probe = jnp.zeros((1, 64, 64, gen_kwargs.get('input_nc', 4)))
-    template = generator.init(jax.random.PRNGKey(0), probe, train=False)
-    variables = (load_generator_variables(ckpt, template) if os.path.isdir(ckpt)
-                 else load_torch_checkpoint(ckpt, template, generator))
+    # SAME loader + forward as bin/predict.py (lama_tpu/serving.py) — the
+    # warmed HLO must be byte-identical to what serving compiles
+    generator, variables, _ = load_serving_model(
+        cfg.model.path, checkpoint=str(cfg.model.checkpoint),
+        precision=cfg.get('precision', 'bf16'))
+    _predict = make_inpaint_forward(generator)
 
     shapes_arg = cfg.get('shapes', '512x512')
     shapes = [tuple(int(v) for v in s.lower().split('x'))
               for s in str(shapes_arg).split(',') if s]
     batch = int(cfg.get('batch_size', 16))
     use_refine = bool(cfg.get('refine', False))
+    modulo = int(cfg.dataset.pad_out_to_modulo)
+    bucket = int(cfg.get('pad_to_bucket', 64))
 
-    def _predict(variables, image, mask):
-        masked = image * (1 - mask)
-        x = jnp.concatenate([masked, mask], axis=-1)
-        pred = generator.apply(variables, x, train=False)
-        return (mask * pred + (1 - mask) * image).astype(jnp.float32)
+    def ceil_to(x, mod):
+        return ((x + mod - 1) // mod) * mod
 
     for h, w in shapes:
         t0 = time.time()
         if use_refine:
+            # mirror predict.py's refine path: the image arrives
+            # modulo-padded but the pyramid is built from the ORIGINAL size
+            # via unpad_to_size, so that is what keys the compiled programs
             from lama_tpu.evaluation.refinement import refine_predict
-            img = jnp.zeros((1, h, w, 3))
-            mask = jnp.zeros((1, h, w, 1)).at[:, h // 4:h // 2, w // 4:w // 2].set(1.0)
+            ph, pw = ceil_to(h, modulo), ceil_to(w, modulo)
+            img = jnp.zeros((1, ph, pw, 3))
+            mask = jnp.zeros((1, ph, pw, 1)).at[:, h // 4:h // 2, w // 4:w // 2].set(1.0)
             out = refine_predict(img, mask, generator, variables,
-                                 **dict(cfg.refiner))
+                                 unpad_to_size=(h, w), **dict(cfg.refiner))
             np.asarray(out[..., :1].sum())  # force completion through the relay
             LOGGER.info(f'refine {h}x{w}: compiled+ran in {time.time() - t0:.1f}s')
         else:
-            img = jax.ShapeDtypeStruct((batch, h, w, 3), jnp.float32)
-            msk = jax.ShapeDtypeStruct((batch, h, w, 1), jnp.float32)
+            bh = ceil_to(max(h, modulo), bucket)
+            bw = ceil_to(max(w, modulo), bucket)
+            img = jax.ShapeDtypeStruct((batch, bh, bw, 3), jnp.float32)
+            msk = jax.ShapeDtypeStruct((batch, bh, bw, 1), jnp.float32)
             jax.jit(_predict).lower(variables, img, msk).compile()
-            LOGGER.info(f'predict {h}x{w} b{batch}: compiled in {time.time() - t0:.1f}s')
+            LOGGER.info(f'predict {h}x{w} -> bucket {bh}x{bw} b{batch}: '
+                        f'compiled in {time.time() - t0:.1f}s')
     LOGGER.info(f'Pre-warmed {len(shapes)} shape(s).')
 
 

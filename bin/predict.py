@@ -37,13 +37,10 @@ def main(argv):
     import jax
     import jax.numpy as jnp
 
-    from lama_tpu.config import compose, load_yaml, parse_overrides
-    from lama_tpu.config.node import ConfigNode, merge, resolve_interpolations
+    from lama_tpu.config import compose
     from lama_tpu.data.datasets import make_default_val_dataset
     from lama_tpu.data.io import save_image
-    from lama_tpu.models import make_generator
-    from lama_tpu.training.checkpoint import load_generator_variables
-    from lama_tpu.training.convert import load_torch_checkpoint
+    from lama_tpu.serving import load_serving_model, make_inpaint_forward
     from lama_tpu.utils import enable_compilation_cache, register_debug_signal_handlers
 
     logging.basicConfig(level=logging.INFO, force=True)  # jax pre-configures the root logger
@@ -64,27 +61,9 @@ def main(argv):
     for key in ('indir', 'outdir'):
         if not isinstance(predict_config.get(key), str):
             raise ValueError(f'{key} must be given ({key}=<path>)')
-    train_config_path = os.path.join(model_path, 'config.yaml')
-    train_config = load_yaml(train_config_path)
-    resolve_interpolations(train_config)
-
-    gen_kwargs = dict(train_config.generator)
-    kind = gen_kwargs.pop('kind')
-    dtype = {'bf16': jnp.bfloat16, 'fp32': jnp.float32}[predict_config.get('precision', 'bf16')]
-    generator = make_generator(kind, dtype=dtype, **gen_kwargs)
-
-    # --- load weights: orbax dir or torch ckpt
-    ckpt = os.path.join(model_path, 'models', str(predict_config.model.checkpoint))
-    if not os.path.exists(ckpt) and os.path.isdir(os.path.splitext(ckpt)[0]):
-        ckpt = os.path.splitext(ckpt)[0]  # 'best.ckpt' config naming, orbax dir on disk
-    probe = jnp.zeros((1, 64, 64, gen_kwargs.get('input_nc', 4)))
-    template = generator.init(jax.random.PRNGKey(0), probe, train=False)
-    if os.path.isdir(ckpt):
-        variables = load_generator_variables(ckpt, template)
-    elif ckpt.endswith(('.ckpt', '.pth', '.pt')):
-        variables = load_torch_checkpoint(ckpt, template, generator)
-    else:
-        raise FileNotFoundError(ckpt)
+    generator, variables, gen_kwargs = load_serving_model(
+        model_path, checkpoint=str(predict_config.model.checkpoint),
+        precision=predict_config.get('precision', 'bf16'))
 
     out_ext = predict_config.get('out_ext', '.png')
     modulo = predict_config.dataset.pad_out_to_modulo
@@ -94,11 +73,7 @@ def main(argv):
         predict_config['indir'] = predict_config.indir + '/'
     dataset = make_default_val_dataset(predict_config.indir, **dict(predict_config.dataset))
 
-    def _predict(variables, image, mask):
-        masked = image * (1 - mask)
-        x = jnp.concatenate([masked, mask], axis=-1)
-        pred = generator.apply(variables, x, train=False)
-        return (mask * pred + (1 - mask) * image).astype(jnp.float32)
+    _predict = make_inpaint_forward(generator)
 
     # spatial_shards=N splits the image H axis over N devices — the >HBM
     # resolution serving path (2-D mesh; GSPMD inserts the conv halo

@@ -61,14 +61,17 @@ class InpaintingTrainDataset:
         self.iter_i += 1
         return out
 
-    def fetch(self, item, seq: int) -> Dict[str, np.ndarray]:
-        """Thread-safe variant used by BatchLoader's worker pool: a per-call
-        RandomState derived from (seed, seq) replaces the shared sequential
-        stream of __getitem__, and the curriculum counter is the sequential
-        position `seq` assigned by the loader BEFORE parallel dispatch —
-        deterministic for any num_workers. (The reference's DataLoader worker
-        processes likewise each own an RNG stream, datasets.py:245.)"""
-        rng = np.random.RandomState((self.seed + 0x9E3779B9 * (seq + 1)) % (2 ** 32))
+    def fetch(self, item, seq: int, stream_salt: int = 0) -> Dict[str, np.ndarray]:
+        """Thread-safe variant used by BatchLoader: a per-call RandomState
+        derived from (seed, seq, stream_salt) replaces the shared sequential
+        stream of __getitem__; the curriculum counter is the sequential
+        position `seq` assigned by the loader BEFORE dispatch, so results are
+        deterministic for any num_workers. `stream_salt` (the loader's
+        shard_id) keeps mask/augmentation streams distinct across hosts.
+        (The reference's DataLoader worker processes likewise each own an RNG
+        stream, datasets.py:245.)"""
+        rng = np.random.RandomState(
+            (self.seed + 0x9E3779B9 * (seq + 1) + 7919 * stream_salt) % (2 ** 32))
         return self._load(self.in_files[item], seq, rng)
 
 
@@ -374,29 +377,32 @@ class BatchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
-        # num_workers > 1 parallelises ITEM loads across a thread pool
-        # (cv2 / native libjpeg release the GIL) when the dataset supports
-        # it: `fetch(item, seq)` (per-item derived RNG, e.g. the train
-        # dataset) or a thread-safe pure-IO __getitem__
-        # (`thread_safe_getitem`, the eval datasets). Otherwise a single
-        # sequential producer preserves shared-RNG-stream semantics.
-        use_fetch = self.num_workers > 1 and hasattr(self.dataset, 'fetch')
-        use_pool = use_fetch or (self.num_workers > 1 and getattr(
+        # Datasets exposing `fetch(item, seq, stream_salt)` (per-item derived
+        # RNG, e.g. the train dataset) always load through it so batches are
+        # identical for ANY num_workers; pure-IO thread-safe datasets
+        # (`thread_safe_getitem`, the eval datasets) parallelise __getitem__
+        # directly. Items load across a worker thread pool (cv2 / native
+        # libjpeg release the GIL) when num_workers > 1.
+        use_fetch = hasattr(self.dataset, 'fetch')
+        use_pool = self.num_workers > 1 and (use_fetch or getattr(
             self.dataset, 'thread_safe_getitem', False))
         # sequential item position feeds curricula; advances across epochs
         seq0 = self.epoch * len(order)
 
         def load(i, seq):
-            return self.dataset.fetch(int(i), seq) if use_fetch \
+            return self.dataset.fetch(int(i), seq, self.shard_id) if use_fetch \
                 else self.dataset[int(i)]
 
         def producer():
             try:
                 if not use_pool:
+                    seq = seq0
                     for batch_idx in batches:
                         if stop.is_set():
                             return
-                        q.put(collate([self.dataset[int(i)] for i in batch_idx]))
+                        q.put(collate([load(i, seq + k)
+                                       for k, i in enumerate(batch_idx)]))
+                        seq += len(batch_idx)
                     return
                 from collections import deque
                 from concurrent.futures import ThreadPoolExecutor

@@ -182,11 +182,16 @@ class RandomSegmentationMaskGenerator:
     def __init__(self, **kwargs):
         self.impl = None
         self.kwargs = kwargs
+        import threading
+        self._init_lock = threading.Lock()
 
     def __call__(self, img, iter_i=None, raw_image=None, rng=None):
         if self.impl is None:
-            from ..evaluation.masks import SegmentationMask
-            self.impl = SegmentationMask(**self.kwargs)
+            # BatchLoader's worker pool may call concurrently; build once
+            with self._init_lock:
+                if self.impl is None:
+                    from ..evaluation.masks import SegmentationMask
+                    self.impl = SegmentationMask(**self.kwargs)
         hwc = np.transpose(img, (1, 2, 0)) if img.ndim == 3 and img.shape[0] in (1, 3) else img
         masks = [m for m in self.impl.get_masks(hwc) if len(np.unique(m)) > 1]
         r = _rng(rng)

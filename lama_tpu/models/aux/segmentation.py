@@ -148,7 +148,7 @@ class SegmentationModule:
             loaded = False
             if weights_path:
                 enc = weights_path if weights_path.endswith('.pth') else os.path.join(
-                    weights_path, 'ade20k', 'ade20k-resnet50dilated-ppm_deepsup',
+                    weights_path, 'ade20k', f'ade20k-{arch_encoder}-ppm_deepsup',
                     'encoder_epoch_20.pth')
                 dec = enc.replace('encoder_', 'decoder_')
                 if os.path.exists(enc):

@@ -1,0 +1,54 @@
+"""Shared serving helpers: model-dir loading and the inpainting forward.
+
+Used by bin/predict.py and bin/precompile.py so the served program and the
+pre-warmed program are built from the SAME code — drift between them would
+silently invalidate the compilation-cache warm.
+"""
+import os
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import load_yaml
+from .config.node import resolve_interpolations
+from .models import make_generator
+from .training.checkpoint import load_generator_variables
+from .training.convert import load_torch_checkpoint
+
+
+def load_serving_model(model_path: str, checkpoint: str = 'best',
+                       precision: str = 'bf16') -> Tuple[object, dict, dict]:
+    """Build the generator from <model_path>/config.yaml and load weights from
+    <model_path>/models/<checkpoint> (orbax dir or reference torch .ckpt).
+    Returns (generator, variables, gen_kwargs)."""
+    train_config = load_yaml(os.path.join(model_path, 'config.yaml'))
+    resolve_interpolations(train_config)
+    gen_kwargs = dict(train_config.generator)
+    kind = gen_kwargs.pop('kind')
+    dtype = {'bf16': jnp.bfloat16, 'fp32': jnp.float32}[precision]
+    generator = make_generator(kind, dtype=dtype, **gen_kwargs)
+
+    ckpt = os.path.join(model_path, 'models', str(checkpoint))
+    if not os.path.exists(ckpt) and os.path.isdir(os.path.splitext(ckpt)[0]):
+        ckpt = os.path.splitext(ckpt)[0]  # 'best.ckpt' config naming, orbax dir
+    probe = jnp.zeros((1, 64, 64, gen_kwargs.get('input_nc', 4)))
+    template = generator.init(jax.random.PRNGKey(0), probe, train=False)
+    if os.path.isdir(ckpt):
+        variables = load_generator_variables(ckpt, template)
+    elif ckpt.endswith(('.ckpt', '.pth', '.pt')):
+        variables = load_torch_checkpoint(ckpt, template, generator)
+    else:
+        raise FileNotFoundError(ckpt)
+    return generator, variables, gen_kwargs
+
+
+def make_inpaint_forward(generator):
+    """The serving forward: (variables, image NHW3 [0,1], mask NHW1) ->
+    composited inpainted image, fp32."""
+    def _predict(variables, image, mask):
+        masked = image * (1 - mask)
+        x = jnp.concatenate([masked, mask], axis=-1)
+        pred = generator.apply(variables, x, train=False)
+        return (mask * pred + (1 - mask) * image).astype(jnp.float32)
+    return _predict

@@ -137,11 +137,15 @@ class InpaintingTrainer:
         self.rescale_size_getter = get_ramp(**dict(rs_kwargs)) if rs_kwargs else None
         cac = tm.get('const_area_crop_kwargs', None)
         self.const_area_crop_kwargs = dict(cac) if cac else None
-        # per-host crop/rescale RNG: fold in process_index so each host draws
-        # its own crops (matching the reference's per-rank DDP workers) while
-        # staying deterministic per (seed, host)
+        # crop RNGs: the crop SIZE must be identical on every host (each host
+        # feeds its local shard of one global SPMD batch — mismatched shapes
+        # would break make_array_from_process_local_data), so sizes come from
+        # a shared stream; the crop POSITION uses a per-host stream for the
+        # reference's per-rank diversity (DDP workers crop independently)
+        seed0 = int(config.get('seed', 0) or 0)
+        self._shared_rng = np.random.RandomState(seed0)
         self._host_rng = np.random.RandomState(
-            int(config.get('seed', 0) or 0) + 7919 * jax.process_index())
+            seed0 + 7919 * jax.process_index())
 
         # fake-fakes discriminator regularisation (default.py:43-45)
         fake_fakes_proba = float(tm.get('fake_fakes_proba', 0) or 0)
@@ -328,9 +332,13 @@ class InpaintingTrainer:
                              for m in np.asarray(mask)])
         if self.const_area_crop_kwargs is not None:
             from ..data.datasets import make_constant_area_crop_params
+            # shared stream -> (h, w) identical across hosts; host stream
+            # re-draws the position for per-rank crop diversity
             y, x, h, w = make_constant_area_crop_params(
                 img_height=image.shape[1], img_width=image.shape[2],
-                rng=self._host_rng, **self.const_area_crop_kwargs)
+                rng=self._shared_rng, **self.const_area_crop_kwargs)
+            y = self._host_rng.randint(0, image.shape[1] - h + 1)
+            x = self._host_rng.randint(0, image.shape[2] - w + 1)
             image = image[:, y:y + h, x:x + w]
             mask = mask[:, y:y + h, x:x + w]
         out = dict(batch)
@@ -350,14 +358,21 @@ class InpaintingTrainer:
             from ..parallel.mesh import put_replicated
             self.state = put_replicated(restored, self.mesh)
             self.global_step = int(np.asarray(restored.step))
-            # continue epoch numbering (Lightning resume semantics): prefer
-            # the manager's last_epoch marker (survives top-k pruning), fall
-            # back to the retained records
+            # continue epoch numbering (Lightning resume semantics). An
+            # explicit epochN checkpoint wins (resuming a non-latest
+            # checkpoint must NOT skip the epochs after it); 'last' uses the
+            # manager's last_epoch marker (survives top-k pruning), then the
+            # retained records as a fallback for old run dirs
             import json
+            import re
             ckpt_dir = os.path.dirname(os.path.abspath(resume_from))
+            base = os.path.basename(os.path.abspath(resume_from))
+            m = re.fullmatch(r'epoch(\d+)', base)
             last_epoch_path = os.path.join(ckpt_dir, 'last_epoch.json')
             index_path = os.path.join(ckpt_dir, 'index.json')
-            if os.path.exists(last_epoch_path):
+            if m:
+                start_epoch = int(m.group(1)) + 1
+            elif os.path.exists(last_epoch_path):
                 with open(last_epoch_path) as f:
                     start_epoch = int(json.load(f)['epoch']) + 1
             elif os.path.exists(index_path):

@@ -192,17 +192,26 @@ def test_batchloader_parallel_fetch_deterministic(tmp_path, rng):
         dl.set_epoch(1)
         return [b for b in dl]
 
-    b1 = make(1)   # sequential path (fetch unused)
+    b1 = make(1)   # sequential producer, same fetch() per-item RNG
     b4 = make(4)   # pool path
     b4b = make(4)  # repeatability
-    assert len(b4) == len(b4b) == 2
-    for x, y in zip(b4, b4b):
+    assert len(b1) == len(b4) == len(b4b) == 2
+    # batches (images AND masks) are identical for any worker count
+    for x, y in list(zip(b4, b4b)) + list(zip(b1, b4)):
         np.testing.assert_array_equal(x['image'], y['image'])
         np.testing.assert_array_equal(x['mask'], y['mask'])
-    # images (deterministic transform) agree across worker counts; masks
-    # legitimately differ (per-item RNG vs shared stream)
-    for x, y in zip(b1, b4):
-        np.testing.assert_array_equal(x['image'], y['image'])
+    # distinct hosts (shard salt) must draw distinct mask streams
+    ds = InpaintingTrainDataset(
+        indir=str(tmp_path),
+        mask_generator=MixedMaskGenerator(
+            irregular_proba=1, irregular_kwargs=dict(max_len=10, max_width=4),
+            box_proba=1,
+            box_kwargs=dict(margin=2, bbox_min_size=5, bbox_max_size=12),
+            segm_proba=0),
+        transform=get_transforms('no_augs', 32), seed=7)
+    m0 = ds.fetch(0, 0, 0)['mask']
+    m1 = ds.fetch(0, 0, 1)['mask']
+    assert not np.array_equal(m0, m1)
 
 
 def test_batchloader_parallel_eval_dataset(tmp_path, rng):

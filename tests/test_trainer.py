@@ -141,6 +141,14 @@ def test_trainer_resume(synth_data):
     state3 = trainer3.fit(resume_from=last)
     assert int(np.asarray(state3.step)) == 2
 
+    # resuming an EXPLICIT epochN checkpoint starts at N+1 even if later
+    # epochs exist in the directory state (code-review r3 finding)
+    trainer4, _ = make_trainer(synth_data, 'run_d')
+    trainer4.max_epochs = 2
+    state4 = trainer4.fit(resume_from=os.path.join(run_dir, 'models', 'epoch0'))
+    assert int(np.asarray(state4.step)) == 4
+    assert os.path.isdir(os.path.join(trainer4.run_dir, 'models', 'epoch1'))
+
 
 def test_checkpoint_manager_nonfinite_monitor(tmp_path):
     """NaN/inf monitor values must rank strictly worst, never 'best'."""
