@@ -36,6 +36,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--process-id', type=int, required=True)
     parser.add_argument('--num-processes', type=int, default=2)
+    parser.add_argument('--local-devices', type=int, default=4)
+    parser.add_argument('--skip-resume', action='store_true')
     parser.add_argument('--coordinator', required=True)
     parser.add_argument('--outdir', required=True)
     args = parser.parse_args()
@@ -45,7 +47,8 @@ def main():
     jax.distributed.initialize(coordinator_address=args.coordinator,
                                num_processes=args.num_processes,
                                process_id=args.process_id)
-    assert jax.local_device_count() == 4 and jax.device_count() == 8
+    assert jax.local_device_count() == args.local_devices
+    assert jax.device_count() == args.local_devices * args.num_processes
 
     import numpy as np
     import jax.numpy as jnp
@@ -70,25 +73,29 @@ def main():
 
     fp = float(param_fingerprint(state.g_params))
 
-    # ---- resume from the RANK-0 checkpoint (shared filesystem); barrier so
-    # rank 1 doesn't race ahead of rank 0's save (production resumes are
-    # fresh launches, where the launcher provides this synchronisation)
-    from jax.experimental import multihost_utils
-    multihost_utils.sync_global_devices('after_first_fit')
-    rank0_last = os.path.join(args.outdir, 'run0', 'models', 'last')
-    trainer2 = InpaintingTrainer(config, os.path.join(args.outdir,
-                                                      f'resume{args.process_id}'))
-    trainer2.max_epochs = 2  # epoch numbering continues after resume
-    state2 = trainer2.fit(resume_from=rank0_last)
-    step_after_resume = int(np.asarray(state2.step))
-    fp2 = float(param_fingerprint(state2.g_params))
+    if args.skip_resume:
+        step_after_resume, fp2 = None, None
+    else:
+        # ---- resume from the RANK-0 checkpoint (shared filesystem); barrier
+        # so rank 1 doesn't race ahead of rank 0's save (production resumes
+        # are fresh launches, where the launcher provides this
+        # synchronisation)
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices('after_first_fit')
+        rank0_last = os.path.join(args.outdir, 'run0', 'models', 'last')
+        trainer2 = InpaintingTrainer(
+            config, os.path.join(args.outdir, f'resume{args.process_id}'))
+        trainer2.max_epochs = 2  # epoch numbering continues after resume
+        state2 = trainer2.fit(resume_from=rank0_last)
+        step_after_resume = int(np.asarray(state2.step))
+        fp2 = float(param_fingerprint(state2.g_params))
 
     out = {
         'process_id': args.process_id,
         'step_after_fit': step_after_fit,
         'step_after_resume': step_after_resume,
         'g_param_fingerprint': repr(fp),
-        'g_param_fingerprint_resumed': repr(fp2),
+        'g_param_fingerprint_resumed': None if fp2 is None else repr(fp2),
         'own_checkpoints': sorted(os.path.basename(p) for p in
                                   glob.glob(os.path.join(run_dir, 'models', '*'))
                                   if os.path.isdir(p)),

@@ -114,3 +114,57 @@ def test_two_process_full_trainer_fit(tmp_path):
     # rank-0-only checkpoint writes
     assert 'last' in results[0]['own_checkpoints']
     assert results[1]['own_checkpoints'] == []
+
+
+@pytest.mark.slow
+def test_four_process_full_trainer_fit(tmp_path):
+    """Round-3 extension of the 2-process rehearsal: 4 real processes x 2
+    CPU devices each (same 8-device global mesh, more hosts) — proves the
+    loader sharding, psum'd step and rank-0-only checkpointing hold as the
+    process count scales. Resume semantics are covered by the 2-process
+    test; skipped here to bound runtime."""
+    import cv2
+    rng = np.random.RandomState(1)
+    os.makedirs(tmp_path / 'train')
+    os.makedirs(tmp_path / 'val')
+    # 64 images -> per-host shard 16 -> 2 batches of 8 per epoch per host
+    for i in range(64):
+        cv2.imwrite(str(tmp_path / 'train' / f't{i}.jpg'),
+                    (rng.rand(48, 48, 3) * 255).astype('uint8'))
+    from lama_tpu.data.io import save_image
+    # 8 val images -> 2 per host
+    for i in range(8):
+        img = rng.rand(32, 32, 3).astype(np.float32)
+        mask = np.zeros((32, 32, 1), np.float32)
+        mask[8:20, 8:20] = 1
+        save_image(str(tmp_path / 'val' / f'v{i}.png'), img)
+        save_image(str(tmp_path / 'val' / f'v{i}_mask.png'), mask)
+
+    port = _free_port()
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'
+    env['XLA_FLAGS'] = (env.get('XLA_FLAGS', '')
+                        + ' --xla_force_host_platform_device_count=2').strip()
+    procs = [subprocess.Popen(
+        [sys.executable, TRAINER_WORKER, '--process-id', str(i),
+         '--num-processes', '4', '--local-devices', '2', '--skip-resume',
+         '--coordinator', f'localhost:{port}', '--outdir', str(tmp_path)],
+        env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for i in range(4)]
+    outs = [p.communicate(timeout=1800)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f'trainer worker failed:\n{out[-6000:]}'
+
+    results = []
+    for i in range(4):
+        with open(tmp_path / f'trainer_worker{i}.json') as f:
+            results.append(json.load(f))
+
+    # every host took the same steps and ended with identical params
+    assert all(r['step_after_fit'] == 2 for r in results)
+    fingerprints = {r['g_param_fingerprint'] for r in results}
+    assert len(fingerprints) == 1
+    # rank-0-only checkpoint writes
+    assert 'last' in results[0]['own_checkpoints']
+    for r in results[1:]:
+        assert r['own_checkpoints'] == []
