@@ -29,12 +29,24 @@ def load_yaml(path: str) -> ConfigNode:
     return node
 
 
+class _Delete:
+    """Sentinel for hydra's `~key` deletion overrides."""
+
+
+DELETE = _Delete()
+
+
 def parse_overrides(overrides: Sequence[str]) -> Dict[str, object]:
     result = {}
     for ov in overrides:
+        if ov.startswith('~'):  # hydra deletion: ~a.b.c
+            result[ov[1:].split('=', 1)[0]] = DELETE
+            continue
         if '=' not in ov:
             raise ValueError(f'Override must look like key=value: {ov}')
         k, v = ov.split('=', 1)
+        if k.startswith('+'):  # hydra append: +a.b.c=value (set_path creates)
+            k = k[1:]
         if v.startswith('[') or v.startswith('{'):
             result[k] = yaml.safe_load(v)
         else:
@@ -86,7 +98,15 @@ def compose(config_dir: str, config_name: str,
     merge(result, preset)
 
     for k, v in value_overrides.items():
-        result.set_path(k, v)
+        if v is DELETE:
+            parent = result.select('.'.join(k.split('.')[:-1])) \
+                if '.' in k else result
+            leaf = k.split('.')[-1]
+            if not isinstance(parent, dict) or leaf not in parent:
+                raise ValueError(f'Cannot delete missing config key: {k}')
+            del parent[leaf]
+        else:
+            result.set_path(k, v)
 
     resolve_interpolations(result)
     return result

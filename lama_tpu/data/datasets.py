@@ -75,24 +75,78 @@ class InpaintingTrainDataset:
         return self._load(self.in_files[item], seq, rng)
 
 
+def expand_shards(pattern: str) -> List[str]:
+    """Expand a webdataset-style shard pattern into a sorted file list:
+    `{00000..00039}` brace ranges (the syntax the reference's
+    `webdataset.Dataset(indir)` accepts, reference datasets.py:50) plus
+    ordinary glob wildcards. A literal path passes through unchanged."""
+    import re
+
+    def _expand_braces(p: str) -> List[str]:
+        m = re.search(r'\{(\d+)\.\.(\d+)\}', p)
+        if m is None:
+            return [p]
+        lo, hi = m.group(1), m.group(2)
+        width = len(lo)
+        out = []
+        for i in range(int(lo), int(hi) + 1):
+            out.extend(_expand_braces(p[:m.start()] + str(i).zfill(width)
+                                      + p[m.end():]))
+        return out
+
+    files: List[str] = []
+    for candidate in _expand_braces(pattern):
+        if any(c in candidate for c in '*?['):
+            files.extend(glob.glob(candidate))
+        else:
+            files.append(candidate)
+    return sorted(files)
+
+
 class InpaintingTrainWebDataset:
     """Iterable training dataset over webdataset-style tar shards
     (reference datasets.py:48-61, kind='default_web'), implemented on stdlib
-    tarfile with a shuffle buffer (webdataset itself is unavailable here)."""
+    tarfile with a shuffle buffer (webdataset itself is unavailable here).
+
+    Like webdataset's node-splitting, the expanded shard list is split
+    round-robin across hosts (`shard_id::num_shards`) so multi-host training
+    reads disjoint data. Epochs are deterministic given (seed, epoch): call
+    `set_epoch` to reshuffle the shard order and reseed the sample stream —
+    this also makes resumed runs see the same data order as uninterrupted
+    ones, which torch DataLoader + webdataset never guaranteed."""
 
     def __init__(self, indir, mask_generator, transform, shuffle_buffer=200,
+                 shard_id=0, num_shards=1, seed: Optional[int] = None,
                  rng: Optional[np.random.RandomState] = None):
-        import glob as _glob
-        self.shards = sorted(_glob.glob(indir)) if any(c in indir for c in '*?[') \
-            else [indir]
+        all_shards = expand_shards(indir)
+        self.shards = all_shards[shard_id::num_shards]
+        if not self.shards:
+            raise ValueError(
+                f'Web dataset {indir!r}: {len(all_shards)} shard(s) cannot '
+                f'feed host {shard_id} of {num_shards} — need at least one '
+                f'shard per host')
         self.mask_generator = mask_generator
         self.transform = transform
         self.shuffle_buffer = shuffle_buffer
-        self.rng = rng or np.random.RandomState()
+        self.shard_id = int(shard_id)
+        self.seed = seed
+        self.epoch = 0
+        self._rng = rng  # explicit rng overrides (seed, epoch) derivation
 
-    def _iter_images(self):
+    def set_epoch(self, epoch: int):
+        self.epoch = int(epoch)
+
+    def _epoch_rng(self) -> np.random.RandomState:
+        if self._rng is not None:
+            return self._rng
+        base = 0 if self.seed is None else int(self.seed)
+        return np.random.RandomState(
+            (base + 0x9E3779B9 * (self.epoch + 1) + 7919 * self.shard_id)
+            % (2 ** 32))
+
+    def _iter_images(self, shards):
         import tarfile
-        for shard in self.shards:
+        for shard in shards:
             with tarfile.open(shard) as tf:
                 for member in tf:
                     if not member.isfile():
@@ -106,23 +160,26 @@ class InpaintingTrainWebDataset:
                     yield cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
     def __iter__(self):
+        rng = self._epoch_rng()
+        shards = list(self.shards)
+        rng.shuffle(shards)
         buffer = []
         iter_i = 0
 
         def emit(img):
             nonlocal iter_i
-            img = self.transform(image=img, rng=self.rng)['image']
+            img = self.transform(image=img, rng=rng)['image']
             mask = self.mask_generator((img.shape[0], img.shape[1]),
-                                       iter_i=iter_i, rng=self.rng)
+                                       iter_i=iter_i, rng=rng)
             iter_i += 1
             return dict(image=img.astype(np.float32), mask=mask.astype(np.float32))
 
-        for img in self._iter_images():
+        for img in self._iter_images(shards):
             buffer.append(img)
             if len(buffer) >= self.shuffle_buffer:
-                idx = self.rng.randint(len(buffer))
+                idx = rng.randint(len(buffer))
                 yield emit(buffer.pop(idx))
-        self.rng.shuffle(buffer)
+        rng.shuffle(buffer)
         for img in buffer:
             yield emit(img)
 
@@ -441,14 +498,17 @@ class BatchLoader:
 
 
 class IterableBatchLoader:
-    """Batcher over an iterable dataset (web shards); epochs re-iterate."""
+    """Batcher over an iterable dataset (web shards); epochs re-iterate.
+    Trailing partial batches are dropped (static shapes for jit)."""
 
     def __init__(self, dataset, batch_size=1):
         self.dataset = dataset
         self.batch_size = batch_size
 
     def set_epoch(self, epoch):
-        pass
+        set_epoch = getattr(self.dataset, 'set_epoch', None)
+        if set_epoch is not None:
+            set_epoch(epoch)
 
     def __iter__(self):
         batch = []
@@ -470,13 +530,16 @@ def make_default_train_dataloader(indir, kind='default', out_size=512,
                 f'(mask generator={mask_generator_kind})')
     mask_generator = get_mask_generator(kind=mask_generator_kind,
                                         kwargs=dict(mask_gen_kwargs or {}))
-    if seed is not None and kind == 'default':
+    if seed is not None and kind in ('default', 'default_web'):
         kwargs.setdefault('seed', int(seed))  # per-item fetch RNG base
     transform = get_transforms(transform_variant, out_size)
     if kind == 'default':
         dataset = InpaintingTrainDataset(indir=indir, mask_generator=mask_generator,
                                          transform=transform, **kwargs)
     elif kind == 'default_web':
+        if ddp_kwargs is not None:  # disjoint shards per host (split_by_node)
+            kwargs.setdefault('shard_id', ddp_kwargs.get('rank', 0))
+            kwargs.setdefault('num_shards', ddp_kwargs.get('num_replicas', 1))
         dataset = InpaintingTrainWebDataset(indir=indir, mask_generator=mask_generator,
                                             transform=transform, **kwargs)
         dl_kwargs = dict(dataloader_kwargs or {})

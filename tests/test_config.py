@@ -62,3 +62,18 @@ def test_dotted_set_and_select():
     node.set_path('a.b.c', 42)
     assert node.select('a.b.c') == 42
     assert node.select('a.missing', default='d') == 'd'
+
+
+def test_delete_and_append_overrides():
+    """Hydra's `~key` deletion and `+key=value` append syntaxes
+    (hydra 1.1 basic override grammar, used e.g. to drop a loss term from
+    the CLI without editing yamls)."""
+    import pytest
+
+    cfg = compose(TRAIN_CFG, 'big-lama',
+                  ['~losses.resnet_pl', '+losses.new_term.weight=2'])
+    assert 'resnet_pl' not in cfg.losses
+    assert cfg.losses.new_term.weight == 2
+
+    with pytest.raises(ValueError, match='missing config key'):
+        compose(TRAIN_CFG, 'big-lama', ['~losses.nope'])
