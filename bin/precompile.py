@@ -34,7 +34,8 @@ def main(argv):
     import jax.numpy as jnp
 
     from lama_tpu.config import compose
-    from lama_tpu.serving import load_serving_model, make_inpaint_forward
+    from lama_tpu.serving import (bucket_shape, load_serving_model,
+                                  make_inpaint_forward)
     from lama_tpu.utils import enable_compilation_cache
 
     logging.basicConfig(level=logging.INFO, force=True)
@@ -62,17 +63,28 @@ def main(argv):
     modulo = int(cfg.dataset.pad_out_to_modulo)
     bucket = int(cfg.get('pad_to_bucket', 64))
 
-    def ceil_to(x, mod):
-        return ((x + mod - 1) // mod) * mod
+    # spatial_shards>1 serving uses a DIFFERENT program (GSPMD-sharded over
+    # the (data, space) mesh) — warm that one with the same mesh as
+    # bin/predict.py builds; requires the same device count as serving will
+    spatial = int(cfg.get('spatial_shards', 0) or 0)
+    if spatial > 1 and not use_refine:
+        from lama_tpu.parallel.mesh import make_mesh, shard_predict
+        if len(jax.devices()) < spatial:
+            raise ValueError(f'spatial_shards={spatial} needs that many '
+                             f'devices; have {len(jax.devices())}')
+        mesh = make_mesh(('data', 'space'), shape=(1, spatial),
+                         devices=jax.devices()[:spatial])
+        sharded_fn, img_sharding, repl = shard_predict(_predict, mesh)
+        variables = jax.device_put(variables, repl)
 
     for h, w in shapes:
         t0 = time.time()
         if use_refine:
             # mirror predict.py's refine path: the image arrives
-            # modulo-padded but the pyramid is built from the ORIGINAL size
-            # via unpad_to_size, so that is what keys the compiled programs
+            # modulo+bucket-padded but the pyramid is built from the ORIGINAL
+            # size via unpad_to_size, so both key the compiled programs
             from lama_tpu.evaluation.refinement import refine_predict
-            ph, pw = ceil_to(h, modulo), ceil_to(w, modulo)
+            ph, pw = bucket_shape(h, w, modulo, bucket)
             img = jnp.zeros((1, ph, pw, 3))
             mask = jnp.zeros((1, ph, pw, 1)).at[:, h // 4:h // 2, w // 4:w // 2].set(1.0)
             out = refine_predict(img, mask, generator, variables,
@@ -80,13 +92,14 @@ def main(argv):
             np.asarray(out[..., :1].sum())  # force completion through the relay
             LOGGER.info(f'refine {h}x{w}: compiled+ran in {time.time() - t0:.1f}s')
         else:
-            bh = ceil_to(max(h, modulo), bucket)
-            bw = ceil_to(max(w, modulo), bucket)
+            bh, bw = bucket_shape(h, w, modulo, bucket, spatial_shards=spatial)
             img = jax.ShapeDtypeStruct((batch, bh, bw, 3), jnp.float32)
             msk = jax.ShapeDtypeStruct((batch, bh, bw, 1), jnp.float32)
-            jax.jit(_predict).lower(variables, img, msk).compile()
-            LOGGER.info(f'predict {h}x{w} -> bucket {bh}x{bw} b{batch}: '
-                        f'compiled in {time.time() - t0:.1f}s')
+            fn = sharded_fn if spatial > 1 else jax.jit(_predict)
+            fn.lower(variables, img, msk).compile()
+            LOGGER.info(f'predict {h}x{w} -> bucket {bh}x{bw} b{batch}'
+                        + (f' x{spatial} H-shards' if spatial > 1 else '')
+                        + f': compiled in {time.time() - t0:.1f}s')
     LOGGER.info(f'Pre-warmed {len(shapes)} shape(s).')
 
 

@@ -29,10 +29,6 @@ import numpy as np
 LOGGER = logging.getLogger(__name__)
 
 
-def ceil_to(x, mod):
-    return ((x + mod - 1) // mod) * mod
-
-
 def main(argv):
     import jax
     import jax.numpy as jnp
@@ -40,7 +36,8 @@ def main(argv):
     from lama_tpu.config import compose
     from lama_tpu.data.datasets import make_default_val_dataset
     from lama_tpu.data.io import save_image
-    from lama_tpu.serving import load_serving_model, make_inpaint_forward
+    from lama_tpu.serving import (bucket_shape, load_serving_model,
+                                  make_inpaint_forward)
     from lama_tpu.utils import enable_compilation_cache, register_debug_signal_handlers
 
     logging.basicConfig(level=logging.INFO, force=True)  # jax pre-configures the root logger
@@ -136,10 +133,10 @@ def main(argv):
                           else image.shape[:2])
 
         # bucket-pad so XLA reuses compiled programs across similar sizes
-        bh = ceil_to(max(image.shape[0], modulo), bucket)
-        bw = ceil_to(max(image.shape[1], modulo), bucket)
-        if spatial > 1:  # even H shards over the 'space' mesh axis
-            bh = ceil_to(bh, spatial)
+        # (shared shape contract with bin/precompile.py: serving.bucket_shape;
+        # image.shape is already modulo-padded by the dataset — idempotent)
+        bh, bw = bucket_shape(image.shape[0], image.shape[1], modulo, bucket,
+                              spatial_shards=spatial)
         pad_h, pad_w = bh - image.shape[0], bw - image.shape[1]
         if pad_h or pad_w:
             image = np.pad(image, ((0, pad_h), (0, pad_w), (0, 0)), mode='symmetric')

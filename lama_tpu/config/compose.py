@@ -38,9 +38,17 @@ DELETE = _Delete()
 
 def parse_overrides(overrides: Sequence[str]) -> Dict[str, object]:
     result = {}
+
+    def put(k, v):
+        if k in result and (v is DELETE) != (result[k] is DELETE):
+            raise ValueError(
+                f'Conflicting overrides for {k!r}: both a ~{k} deletion and '
+                f'a {k}=value assignment were given')
+        result[k] = v
+
     for ov in overrides:
         if ov.startswith('~'):  # hydra deletion: ~a.b.c
-            result[ov[1:].split('=', 1)[0]] = DELETE
+            put(ov[1:].split('=', 1)[0], DELETE)
             continue
         if '=' not in ov:
             raise ValueError(f'Override must look like key=value: {ov}')
@@ -48,9 +56,9 @@ def parse_overrides(overrides: Sequence[str]) -> Dict[str, object]:
         if k.startswith('+'):  # hydra append: +a.b.c=value (set_path creates)
             k = k[1:]
         if v.startswith('[') or v.startswith('{'):
-            result[k] = yaml.safe_load(v)
+            put(k, yaml.safe_load(v))
         else:
-            result[k] = _parse_scalar(v)
+            put(k, _parse_scalar(v))
     return result
 
 

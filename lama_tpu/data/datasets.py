@@ -131,18 +131,22 @@ class InpaintingTrainWebDataset:
         self.shard_id = int(shard_id)
         self.seed = seed
         self.epoch = 0
+        self.cycle = 0  # repeat pass within an epoch (IterableBatchLoader)
         self._rng = rng  # explicit rng overrides (seed, epoch) derivation
 
     def set_epoch(self, epoch: int):
         self.epoch = int(epoch)
+
+    def set_cycle(self, cycle: int):
+        self.cycle = int(cycle)
 
     def _epoch_rng(self) -> np.random.RandomState:
         if self._rng is not None:
             return self._rng
         base = 0 if self.seed is None else int(self.seed)
         return np.random.RandomState(
-            (base + 0x9E3779B9 * (self.epoch + 1) + 7919 * self.shard_id)
-            % (2 ** 32))
+            (base + 0x9E3779B9 * (self.epoch + 1) + 7919 * self.shard_id
+             + 0x85EBCA6B * self.cycle) % (2 ** 32))
 
     def _iter_images(self, shards):
         import tarfile
@@ -499,11 +503,19 @@ class BatchLoader:
 
 class IterableBatchLoader:
     """Batcher over an iterable dataset (web shards); epochs re-iterate.
-    Trailing partial batches are dropped (static shapes for jit)."""
+    Trailing partial batches are dropped (static shapes for jit).
 
-    def __init__(self, dataset, batch_size=1):
+    `epoch_batches` mirrors webdataset's `.repeat()` + Lightning's
+    `limit_train_batches` contract the reference web config relies on: the
+    stream is cycled so every epoch yields EXACTLY that many batches. This
+    is what makes multi-host web training safe — hosts own different shard
+    subsets (possibly of unequal size), and without a fixed epoch length
+    the per-host step counts could diverge and deadlock the collectives."""
+
+    def __init__(self, dataset, batch_size=1, epoch_batches=None):
         self.dataset = dataset
         self.batch_size = batch_size
+        self.epoch_batches = epoch_batches
 
     def set_epoch(self, epoch):
         set_epoch = getattr(self.dataset, 'set_epoch', None)
@@ -511,12 +523,26 @@ class IterableBatchLoader:
             set_epoch(epoch)
 
     def __iter__(self):
-        batch = []
-        for item in self.dataset:
-            batch.append(item)
-            if len(batch) == self.batch_size:
-                yield collate(batch)
-                batch = []
+        import itertools
+        produced = 0
+        set_cycle = getattr(self.dataset, 'set_cycle', None)
+        for cycle in itertools.count():
+            if set_cycle is not None:
+                set_cycle(cycle)
+            batch = []
+            empty = True
+            for item in self.dataset:
+                empty = False
+                batch.append(item)
+                if len(batch) == self.batch_size:
+                    yield collate(batch)
+                    batch = []
+                    produced += 1
+                    if self.epoch_batches is not None \
+                            and produced >= int(self.epoch_batches):
+                        return
+            if self.epoch_batches is None or empty:
+                return
 
 
 # ------------------------------------------------------------------ factories
@@ -544,7 +570,8 @@ def make_default_train_dataloader(indir, kind='default', out_size=512,
                                             transform=transform, **kwargs)
         dl_kwargs = dict(dataloader_kwargs or {})
         return IterableBatchLoader(dataset,
-                                   batch_size=dl_kwargs.get('batch_size', 1))
+                                   batch_size=dl_kwargs.get('batch_size', 1),
+                                   epoch_batches=dl_kwargs.get('epoch_batches'))
     elif kind == 'img_with_segm':
         dataset = ImgSegmentationDataset(indir=indir, mask_generator=mask_generator,
                                          transform=transform, out_size=out_size,

@@ -51,22 +51,17 @@ class ADE20kPanopticPredictor:
         self.allow_random_weights = allow_random_weights
         self.thing_ids = ade20k_thing_class_ids()
 
-    def _resolved_encoder_path(self) -> Optional[str]:
-        wp = self.weights_path
-        if not wp:
-            return None
-        enc = wp if wp.endswith('.pth') else os.path.join(
-            wp, 'ade20k', f'ade20k-{self.arch_encoder}-ppm_deepsup',
-            'encoder_epoch_20.pth')
-        return enc if os.path.exists(enc) else None
-
     @property
     def module(self):
         if self._module is None:
             # loud-fail policy (same as losses/perceptual.py ResNetPL): object
             # placements from a randomly-initialised segmenter are arbitrary,
-            # so require real weights unless the caller explicitly opts out
-            if self._resolved_encoder_path() is None and not self.allow_random_weights:
+            # so require real weights (BOTH encoder and decoder) unless the
+            # caller explicitly opts out
+            from ..models.aux.segmentation import resolve_ade20k_weight_paths
+            enc, _ = resolve_ade20k_weight_paths(self.weights_path,
+                                                 self.arch_encoder)
+            if enc is None and not self.allow_random_weights:
                 raise RuntimeError(
                     f'ADE20k segmenter weights not found under '
                     f'{self.weights_path!r} (set $TORCH_HOME or weights_path; '

@@ -133,6 +133,28 @@ class SegmentationModuleNet(nn.Module):
         raise NotImplementedError(f'No such arch_encoder={self.arch_encoder}')
 
 
+def resolve_ade20k_weight_paths(weights_path: Optional[str],
+                                arch_encoder: str = 'resnet50dilated'):
+    """Resolve the (encoder, decoder) .pth pair under a TORCH_HOME-style root
+    (single owner of the on-disk layout — the reference hardcodes it in
+    models/ade20k/base.py:152-158). Returns (None, None) unless BOTH files
+    exist: a partial download would otherwise silently mix real and random
+    weights."""
+    if not weights_path:
+        return None, None
+    enc = weights_path if weights_path.endswith('.pth') else os.path.join(
+        weights_path, 'ade20k', f'ade20k-{arch_encoder}-ppm_deepsup',
+        'encoder_epoch_20.pth')
+    dec = enc.replace('encoder_', 'decoder_')
+    if not (os.path.exists(enc) and os.path.exists(dec)):
+        if os.path.exists(enc) != os.path.exists(dec):
+            LOGGER.warning(
+                f'Partial ADE20k weights: only one of {enc} / {dec} exists; '
+                'ignoring both (encoder and decoder must be fetched together)')
+        return None, None
+    return enc, dec
+
+
 class SegmentationModule:
     """Frozen inference wrapper (reference base.py:147-287): [0,1] RGB NHWC
     in, per-pixel ADE20k label map out."""
@@ -146,28 +168,19 @@ class SegmentationModule:
             variables = self.model.init(jax.random.PRNGKey(0),
                                         jnp.zeros((1, 64, 64, 3)), train=False)
             loaded = False
-            if weights_path:
-                enc = weights_path if weights_path.endswith('.pth') else os.path.join(
-                    weights_path, 'ade20k', f'ade20k-{arch_encoder}-ppm_deepsup',
-                    'encoder_epoch_20.pth')
-                dec = enc.replace('encoder_', 'decoder_')
-                if os.path.exists(enc):
-                    import torch
-                    from ...training.convert import torch_to_flax
-                    enc_state = torch.load(enc, map_location='cpu', weights_only=False)
-                    enc_template = {'params': variables['params']['encoder'],
-                                    'batch_stats': variables['batch_stats']['encoder']}
-                    enc_vars = torch_to_flax(enc_state, enc_template, strict=False)
-                    variables['params']['encoder'] = enc_vars['params']
-                    variables['batch_stats']['encoder'] = enc_vars['batch_stats']
-                    loaded = True
-                    if os.path.exists(dec):
-                        dec_state = torch.load(dec, map_location='cpu', weights_only=False)
-                        dec_template = {'params': variables['params']['decoder'],
-                                        'batch_stats': variables['batch_stats']['decoder']}
-                        dec_vars = torch_to_flax(dec_state, dec_template, strict=False)
-                        variables['params']['decoder'] = dec_vars['params']
-                        variables['batch_stats']['decoder'] = dec_vars['batch_stats']
+            enc, dec = resolve_ade20k_weight_paths(weights_path, arch_encoder)
+            if enc is not None:
+                import torch
+                from ...training.convert import torch_to_flax
+                for part, path in (('encoder', enc), ('decoder', dec)):
+                    state = torch.load(path, map_location='cpu',
+                                       weights_only=False)
+                    template = {'params': variables['params'][part],
+                                'batch_stats': variables['batch_stats'][part]}
+                    part_vars = torch_to_flax(state, template, strict=False)
+                    variables['params'][part] = part_vars['params']
+                    variables['batch_stats'][part] = part_vars['batch_stats']
+                loaded = True
             if not loaded:
                 LOGGER.warning('SegmentationModule weights unavailable '
                                f'({weights_path}); RANDOM weights — segmentation '

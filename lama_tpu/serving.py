@@ -43,6 +43,28 @@ def load_serving_model(model_path: str, checkpoint: str = 'best',
     return generator, variables, gen_kwargs
 
 
+def bucket_shape(h: int, w: int, modulo: int, bucket: int,
+                 spatial_shards: int = 1) -> Tuple[int, int]:
+    """The padded (H, W) an original (h, w) input is actually served at —
+    the single owner of bin/predict.py's shape contract, shared with
+    bin/precompile.py so warmed programs key identically to served ones:
+    dataset modulo-pad → bucket-pad (min one modulo) → ceil H to the
+    spatial shard count."""
+    from .data.io import ceil_modulo
+
+    def ceil_to(x, mod):
+        return ((x + mod - 1) // mod) * mod
+
+    modulo = int(modulo or 0)
+    ph = ceil_modulo(int(h), modulo) if modulo else int(h)
+    pw = ceil_modulo(int(w), modulo) if modulo else int(w)
+    bh = ceil_to(max(ph, modulo), bucket)
+    bw = ceil_to(max(pw, modulo), bucket)
+    if spatial_shards > 1:
+        bh = ceil_to(bh, spatial_shards)
+    return bh, bw
+
+
 def make_inpaint_forward(generator):
     """The serving forward: (variables, image NHW3 [0,1], mask NHW1) ->
     composited inpainted image, fp32."""

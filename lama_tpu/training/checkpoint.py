@@ -111,6 +111,34 @@ class CheckpointManager:
         p = os.path.join(self.directory, 'last')
         return p if os.path.exists(p) else None
 
+    @staticmethod
+    def epoch_of(path: str) -> Optional[int]:
+        """The epoch a checkpoint path was saved at, owning the on-disk
+        layout this class writes (epochN dirs, last_epoch.json marker,
+        index.json records). Resume uses this to continue epoch numbering
+        (Lightning semantics). An explicit epochN name wins (resuming a
+        non-latest checkpoint must not skip the epochs after it); 'last'
+        reads the last_epoch marker (survives top-k pruning), then falls
+        back to the retained records for old run dirs. None if the epoch
+        cannot be determined."""
+        import re
+        path = os.path.abspath(path)
+        m = re.fullmatch(r'epoch(\d+)', os.path.basename(path))
+        if m:
+            return int(m.group(1))
+        directory = os.path.dirname(path)
+        last_epoch_path = os.path.join(directory, 'last_epoch.json')
+        if os.path.exists(last_epoch_path):
+            with open(last_epoch_path) as f:
+                return int(json.load(f)['epoch'])
+        index_path = os.path.join(directory, 'index.json')
+        if os.path.exists(index_path):
+            with open(index_path) as f:
+                records = json.load(f)
+            if records:
+                return max(r['epoch'] for r in records)
+        return None
+
 
 def restore_pytree_numpy(path: str):
     """Restore any checkpoint as host numpy without a template (derives the

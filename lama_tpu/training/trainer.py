@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config.node import ConfigNode, to_dict
-from ..data.datasets import (BatchLoader, make_default_train_dataloader,
+from ..data.datasets import (BatchLoader, IterableBatchLoader,
+                             make_default_train_dataloader,
                              make_default_val_dataset)
 from ..evaluation import make_evaluator
 from ..losses.adversarial import make_discrim_loss
@@ -257,7 +258,21 @@ class InpaintingTrainer:
         # by sharding the global batch over the mesh
         kwargs['ddp_kwargs'] = dict(rank=jax.process_index(),
                                     num_replicas=jax.process_count())
-        return make_default_train_dataloader(**kwargs)
+        loader = make_default_train_dataloader(**kwargs)
+        if isinstance(loader, IterableBatchLoader):
+            # fixed epoch length (webdataset .repeat() semantics): cycle the
+            # shard stream so every host steps exactly limit_train_batches
+            # times per epoch — required in multi-host runs, where unequal
+            # per-host shard sizes would otherwise deadlock the collectives
+            if self.limit_train_batches:
+                loader.epoch_batches = int(self.limit_train_batches)
+            elif jax.process_count() > 1:
+                raise ValueError(
+                    'Multi-host web-dataset training requires '
+                    'trainer.kwargs.limit_train_batches to fix the epoch '
+                    'length (per-host tar shards may hold unequal sample '
+                    'counts, which would desynchronise the train step)')
+        return loader
 
     def val_dataloader(self, key='val'):
         if key in ('val', 'visual_test'):
@@ -358,28 +373,11 @@ class InpaintingTrainer:
             from ..parallel.mesh import put_replicated
             self.state = put_replicated(restored, self.mesh)
             self.global_step = int(np.asarray(restored.step))
-            # continue epoch numbering (Lightning resume semantics). An
-            # explicit epochN checkpoint wins (resuming a non-latest
-            # checkpoint must NOT skip the epochs after it); 'last' uses the
-            # manager's last_epoch marker (survives top-k pruning), then the
-            # retained records as a fallback for old run dirs
-            import json
-            import re
-            ckpt_dir = os.path.dirname(os.path.abspath(resume_from))
-            base = os.path.basename(os.path.abspath(resume_from))
-            m = re.fullmatch(r'epoch(\d+)', base)
-            last_epoch_path = os.path.join(ckpt_dir, 'last_epoch.json')
-            index_path = os.path.join(ckpt_dir, 'index.json')
-            if m:
-                start_epoch = int(m.group(1)) + 1
-            elif os.path.exists(last_epoch_path):
-                with open(last_epoch_path) as f:
-                    start_epoch = int(json.load(f)['epoch']) + 1
-            elif os.path.exists(index_path):
-                with open(index_path) as f:
-                    records = json.load(f)
-                if records:
-                    start_epoch = max(r['epoch'] for r in records) + 1
+            # continue epoch numbering (Lightning resume semantics); the
+            # checkpoint-directory layout is owned by CheckpointManager
+            resumed_epoch = CheckpointManager.epoch_of(resume_from)
+            if resumed_epoch is not None:
+                start_epoch = resumed_epoch + 1
 
         from ..parallel.mesh import put_batch
         for epoch in range(start_epoch, self.max_epochs):

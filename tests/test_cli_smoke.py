@@ -295,7 +295,20 @@ def test_precompile_cli(tmp_path, model_dir, monkeypatch):
     requested bucket shapes (round-3 serving tool)."""
     cache = tmp_path / 'cc'
     monkeypatch.setenv('LAMA_COMPILATION_CACHE', str(cache))
+    import jax
     import precompile as precompile_cli
-    precompile_cli.main([f'model.path={model_dir}', 'shapes=64x64,64x128',
-                         'batch_size=2', 'device=cpu', 'precision=fp32'])
+    keys = ('jax_compilation_cache_dir',
+            'jax_persistent_cache_min_entry_size_bytes',
+            'jax_persistent_cache_min_compile_time_secs')
+    prior = {k: getattr(jax.config, k) for k in keys}
+    try:
+        precompile_cli.main([f'model.path={model_dir}', 'shapes=64x64,64x128',
+                             'batch_size=2', 'device=cpu', 'precision=fp32'])
+    finally:
+        # enable_compilation_cache() sets process-wide jax config; restore it
+        # so later tests don't write cache entries into the deleted tmp_path
+        for k, v in prior.items():
+            jax.config.update(k, v)
+        from jax._src import compilation_cache as _cc
+        _cc.reset_cache()
     assert cache.is_dir() and len(list(cache.iterdir())) >= 2

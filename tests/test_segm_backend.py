@@ -105,3 +105,15 @@ def test_default_backend_requires_real_weights():
     pred = ADE20kPanopticPredictor(weights_path='/nonexistent')
     with pytest.raises(RuntimeError, match='allow_random_weights'):
         _ = pred.module
+
+
+def test_default_backend_rejects_partial_weights(tmp_path):
+    """A partial download (encoder .pth present, decoder missing) must ALSO
+    fail loudly — loading half a segmenter and leaving the decoder random
+    silently breaks object placements (round-3 review finding)."""
+    d = tmp_path / 'ade20k' / 'ade20k-resnet50dilated-ppm_deepsup'
+    d.mkdir(parents=True)
+    (d / 'encoder_epoch_20.pth').write_bytes(b'stub')
+    pred = ADE20kPanopticPredictor(weights_path=str(tmp_path))
+    with pytest.raises(RuntimeError, match='allow_random_weights'):
+        _ = pred.module
