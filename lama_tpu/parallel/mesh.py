@@ -101,3 +101,55 @@ def shard_train_step(step_fn, mesh: Mesh, state, batch_axis: str = 'data'):
                  donate_argnums=(0,))
     sharded_state = put_replicated(state, mesh)
     return fn, sharded_state
+
+
+def shard_train_scan(step_fn, mesh: Mesh, state, batch_axis: str = 'data'):
+    """jit a `lax.scan` of `step_fn(state, batch, rng)` over a
+    (K, batch, ...)-stacked batch and a (K, 2) PRNGKey stack — K optimizer
+    steps in ONE XLA program per dispatch (`trainer.kwargs.steps_per_dispatch`).
+
+    Per-step semantics are identical to `shard_train_step` (same batches in
+    the same order, the same per-step PRNG keys, the same donated-state
+    threading through the optimizer/EMA updates); only the host↔device
+    dispatch cadence changes. Bit-identity with the K=1 program is NOT
+    guaranteed: XLA fuses the scanned body independently, so expect
+    float-jitter-level (~1e-7) divergence that Adam can amplify on
+    near-zero-gradient weights — loss trajectories agree to ~1e-7 relative
+    (tests/test_trainer.py::test_trainer_steps_per_dispatch_matches_single). This amortizes per-dispatch overhead — host
+    Python, transfer setup, and on remote-dispatch links (the axon relay's
+    ~140 ms round trip) the wire latency — across K steps, trading it for a
+    K-step loss-logging granularity. The stacked metrics for ALL K steps are
+    returned so observability (per-step logs, NaN screens) is preserved.
+
+    The leading K axis is unsharded; the batch axis stays on `batch_axis`.
+    No reference counterpart — pytorch-lightning dispatches one optimizer
+    step per `training_step` call by construction."""
+    repl = replicate_sharding(mesh)
+    bsh = NamedSharding(mesh, P(None, batch_axis))
+
+    state_sharding = jax.tree.map(lambda _: repl, state)
+    batch_sharding_tree = {'image': bsh, 'mask': bsh}
+
+    def scan_fn(state, batches, keys):
+        def body(s, batch_key):
+            batch, key = batch_key
+            return step_fn(s, batch, key)
+        return jax.lax.scan(body, state, (batches, keys))
+
+    return jax.jit(scan_fn,
+                   in_shardings=(state_sharding, batch_sharding_tree, repl),
+                   out_shardings=(state_sharding, None),
+                   donate_argnums=(0,))
+
+
+def put_step_stack(tree, mesh: Mesh, axis: str = 'data'):
+    """Place a (K, batch, ...) step-stacked batch: K unsharded, batch on
+    `axis`. Multi-process: each host passes its own (K, local_batch, ...)
+    stack and the global batch axis is the concatenation over hosts (same
+    contract as put_batch, one axis deeper)."""
+    bsh = NamedSharding(mesh, P(None, axis))
+    if jax.process_count() == 1:
+        return jax.device_put(tree, bsh)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(bsh, np.asarray(x)),
+        tree)

@@ -242,6 +242,26 @@ class InpaintingTrainer:
         self.limit_val_batches = _get(config, 'trainer.kwargs.limit_val_batches', None)
         self.terminate_on_nan = bool(_get(config, 'trainer.kwargs.terminate_on_nan', False))
 
+        # K optimizer steps per XLA dispatch (lax.scan over stacked batches;
+        # parallel/mesh.py::shard_train_scan). Amortizes per-dispatch host +
+        # link latency; per-step numerics identical to K=1.
+        self.steps_per_dispatch = int(
+            _get(config, 'trainer.kwargs.steps_per_dispatch', 1) or 1)
+        if self.steps_per_dispatch > 1:
+            if self.rescale_size_getter is not None \
+                    or self.const_area_crop_kwargs is not None:
+                raise ValueError(
+                    'steps_per_dispatch > 1 requires static batch shapes: '
+                    'disable data.train.rescale_params / const_area_crop '
+                    '(they change the image size per step, so the K-step '
+                    'program could not be compiled once)')
+            if self.limit_train_batches \
+                    and int(self.limit_train_batches) % self.steps_per_dispatch:
+                raise ValueError(
+                    f'trainer.kwargs.limit_train_batches='
+                    f'{self.limit_train_batches} must be a multiple of '
+                    f'steps_per_dispatch={self.steps_per_dispatch}')
+
         self.state = None
         self.global_step = 0
 
@@ -299,6 +319,9 @@ class InpaintingTrainer:
                                    self.discriminator, batch, self.g_tx, self.d_tx,
                                    use_ema=True, gen_input_fn=gen_input_fn)
         self.jit_step, self.state = shard_train_step(self.step_fn, self.mesh, state)
+        if self.steps_per_dispatch > 1:
+            from ..parallel.mesh import shard_train_scan
+            self.jit_scan = shard_train_scan(self.step_fn, self.mesh, state)
         self._eval_forward = jax.jit(self._eval_forward_impl)
         self._discr_forward = jax.jit(self._discr_forward_impl)
         return self.state
@@ -380,32 +403,32 @@ class InpaintingTrainer:
                 start_epoch = resumed_epoch + 1
 
         from ..parallel.mesh import put_batch
+        K = self.steps_per_dispatch
         for epoch in range(start_epoch, self.max_epochs):
             train_loader.set_epoch(epoch)
             t_epoch = time.time()
+            chunk = []
             for batch_i, batch in enumerate(train_loader):
                 if self.limit_train_batches and batch_i >= int(self.limit_train_batches):
                     break
                 batch = self._prepare_train_batch(batch)
+                if K > 1:
+                    chunk.append((batch_i, batch))
+                    if len(chunk) == K:
+                        self._dispatch_step_chunk(epoch, chunk)
+                        chunk = []
+                    continue
                 device_batch = put_batch({'image': batch['image'],
                                           'mask': batch['mask']}, self.mesh)
                 self.state, metrics = self.jit_step(
                     self.state, device_batch, jax.random.PRNGKey(self.global_step))
-                if self.global_step % self.log_every_n_steps == 0:
-                    host_metrics = {k: float(v) for k, v in metrics.items()}
-                    self._log_scalars('train', host_metrics)
-                    LOGGER.info(f'epoch {epoch} step {self.global_step}: '
-                                + ' '.join(f'{k}={v:.4f}' for k, v in
-                                           list(host_metrics.items())[:6]))
-                    if self.terminate_on_nan and not all(
-                            np.isfinite(v) for v in host_metrics.values()):
-                        raise FloatingPointError(
-                            f'non-finite training metrics at step '
-                            f'{self.global_step}: {host_metrics}')
-                if (self.visualize_each_iters and jax.process_index() == 0
-                        and self.global_step % self.visualize_each_iters == 0):
-                    self._visualize(epoch, batch_i, batch, suffix='_train')
+                self._train_step_bookkeeping(
+                    epoch, batch_i, batch,
+                    lambda: {k: float(v) for k, v in metrics.items()})
                 self.global_step += 1
+            if chunk:
+                LOGGER.info(f'epoch {epoch}: dropped {len(chunk)} trailing '
+                            f'batch(es) < steps_per_dispatch={K}')
 
             LOGGER.info(f'epoch {epoch} train done in {time.time() - t_epoch:.1f}s')
             val_metrics = self.validate(epoch)
@@ -413,6 +436,54 @@ class InpaintingTrainer:
             if jax.process_index() == 0:
                 self.checkpoints.save(jax.device_get(self.state), epoch, val_metrics)
         return self.state
+
+    def _train_step_bookkeeping(self, epoch, batch_i, batch, get_host_metrics):
+        """Per-step logging / NaN screen / visualization. `self.global_step`
+        is the step just executed; the caller advances it afterwards.
+        `get_host_metrics` defers the device→host metric pull to steps that
+        actually log."""
+        if self.global_step % self.log_every_n_steps == 0:
+            host_metrics = get_host_metrics()
+            self._log_scalars('train', host_metrics)
+            LOGGER.info(f'epoch {epoch} step {self.global_step}: '
+                        + ' '.join(f'{k}={v:.4f}' for k, v in
+                                   list(host_metrics.items())[:6]))
+            if self.terminate_on_nan and not all(
+                    np.isfinite(v) for v in host_metrics.values()):
+                raise FloatingPointError(
+                    f'non-finite training metrics at step '
+                    f'{self.global_step}: {host_metrics}')
+        if (self.visualize_each_iters and jax.process_index() == 0
+                and self.global_step % self.visualize_each_iters == 0):
+            self._visualize(epoch, batch_i, batch, suffix='_train')
+
+    def _dispatch_step_chunk(self, epoch, chunk):
+        """Run len(chunk) optimizer steps in ONE XLA dispatch
+        (steps_per_dispatch > 1): stack the prepared host batches and the
+        per-step PRNG keys, scan the fused step over them, then replay the
+        per-step bookkeeping against the stacked metrics. Step semantics
+        (batch order, RNG, logging cadence, NaN screen) match the K=1 path
+        exactly."""
+        from ..parallel.mesh import put_step_stack
+        k = len(chunk)
+        stacked = {key: np.stack([np.asarray(b[key]) for _, b in chunk])
+                   for key in ('image', 'mask')}
+        keys = np.stack([np.asarray(jax.random.PRNGKey(self.global_step + i))
+                         for i in range(k)])
+        device_batch = put_step_stack(stacked, self.mesh)
+        self.state, metrics = self.jit_scan(self.state, device_batch, keys)
+        metrics_host = {}  # pulled once, only if some step in the chunk logs
+
+        def get_host(i):
+            if not metrics_host:
+                metrics_host.update(
+                    {key: np.asarray(v) for key, v in metrics.items()})
+            return {key: float(v[i]) for key, v in metrics_host.items()}
+
+        for i, (batch_i, batch) in enumerate(chunk):
+            self._train_step_bookkeeping(epoch, batch_i, batch,
+                                         lambda i=i: get_host(i))
+            self.global_step += 1
 
     # ------------------------------------------------------------- validation
     def validate(self, epoch: int) -> Dict[str, float]:

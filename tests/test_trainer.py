@@ -196,3 +196,61 @@ def test_trainer_fit_web_dataset(synth_data, rng):
     assert int(np.asarray(state.step)) == 2
     assert os.path.isdir(os.path.join(run_dir, 'models', 'last'))
     assert trainer.train_dataloader().dataset.seed is not None
+
+
+def test_trainer_steps_per_dispatch_matches_single(synth_data):
+    """steps_per_dispatch=2 (one lax.scan dispatch of 2 fused steps,
+    parallel/mesh.py::shard_train_scan) must reproduce the K=1 path's
+    TRAJECTORY: same batches in the same order, same per-step PRNG keys →
+    the per-step logged metrics agree to float tolerance. (Raw params are
+    NOT compared: XLA fuses the scanned body independently of the
+    standalone step program, and Adam normalization amplifies the ~1e-7
+    compile-level jitter to lr-scale on near-zero-gradient weights — while
+    every loss metric still matches to ~1e-7 relative.)"""
+    from lama_tpu.training.trainer import InpaintingTrainer
+    os.environ['LAMA_DATA_ROOT'] = str(synth_data)
+    os.environ.setdefault('TORCH_HOME', '/tmp/th')
+
+    def run(run_name, extra):
+        config = compose(os.path.join(REPO, 'configs', 'training'),
+                         'lama-fourier', OVERRIDES + extra)
+        trainer = InpaintingTrainer(config, str(synth_data / run_name))
+        log = []
+        trainer._log_scalars = lambda prefix, m: (
+            log.append(dict(m)) if prefix == 'train' else None)
+        return trainer.fit(), log
+
+    s1, log1 = run('run_k1', [])
+    s2, log2 = run('run_k2', ['trainer.kwargs.steps_per_dispatch=2'])
+    assert int(np.asarray(s1.step)) == int(np.asarray(s2.step)) == 2
+    # log_every_n_steps=1 -> both paths logged every one of the 2 steps
+    assert len(log1) == len(log2) == 2
+    for m1, m2 in zip(log1, log2):
+        assert m1.keys() == m2.keys()
+        for k in m1:
+            np.testing.assert_allclose(m1[k], m2[k], rtol=1e-4, atol=1e-6,
+                                       err_msg=k)
+
+
+def test_trainer_steps_per_dispatch_guards(synth_data):
+    """K>1 refuses dynamic per-step shapes (rescale ramp / constant-area
+    crop change the image size each step) and a limit_train_batches that is
+    not a multiple of K — both would otherwise fail at compile/runtime with
+    an opaque error."""
+    from lama_tpu.training.trainer import InpaintingTrainer
+    os.environ['LAMA_DATA_ROOT'] = str(synth_data)
+    os.environ.setdefault('TORCH_HOME', '/tmp/th')
+
+    config = compose(
+        os.path.join(REPO, 'configs', 'training'), 'lama-fourier',
+        OVERRIDES + ['trainer.kwargs.steps_per_dispatch=2',
+                     '+training_model.const_area_crop_kwargs.min_mask_area=0.1'])
+    with pytest.raises(ValueError, match='static batch shapes'):
+        InpaintingTrainer(config, str(synth_data / 'run_guard1'))
+
+    config = compose(
+        os.path.join(REPO, 'configs', 'training'), 'lama-fourier',
+        OVERRIDES + ['trainer.kwargs.steps_per_dispatch=2',
+                     'trainer.kwargs.limit_train_batches=3'])
+    with pytest.raises(ValueError, match='multiple of'):
+        InpaintingTrainer(config, str(synth_data / 'run_guard2'))
