@@ -92,6 +92,10 @@ def main(argv):
             mask = jax.device_put(mask, img_sharding)
             return sharded_fn(variables, image, mask)
     else:
+        # pin the weights on device ONCE — host-numpy variables would be
+        # re-uploaded on every jitted call (~108 MB/batch for big-lama;
+        # ruinous on transfer-bound links, see BASELINE.md relay bandwidth)
+        variables = jax.device_put(variables)
         predict_fn = jax.jit(_predict)
 
     use_refine = bool(predict_config.get('refine', False))

@@ -262,6 +262,21 @@ class InpaintingTrainer:
                     f'{self.limit_train_batches} must be a multiple of '
                     f'steps_per_dispatch={self.steps_per_dispatch}')
 
+        # Wire format for the per-step host→device batch transfer. 'uint8'
+        # quantizes [0,1] images/masks to bytes on host and normalizes back
+        # inside the jitted step — 4× less traffic on the input-bandwidth-
+        # bound link (BASELINE.md: the axon relay moves ~33-42 MB/s, making
+        # the fp32 batch the per-step floor). Exact when the pipeline output
+        # is uint8-representable (images decode from 8-bit sources; masks
+        # are binary); with float-valued augmentations the quantization
+        # error is ≤ 1/510 per pixel. 'fp32' (default) = reference numerics.
+        self.input_transfer_dtype = str(
+            _get(config, 'trainer.kwargs.input_transfer_dtype', 'fp32'))
+        if self.input_transfer_dtype not in ('fp32', 'uint8'):
+            raise ValueError(
+                f'trainer.kwargs.input_transfer_dtype='
+                f'{self.input_transfer_dtype!r}: expected fp32 or uint8')
+
         self.state = None
         self.global_step = 0
 
@@ -318,10 +333,21 @@ class InpaintingTrainer:
         state = create_train_state(jax.random.PRNGKey(seed), self.generator,
                                    self.discriminator, batch, self.g_tx, self.d_tx,
                                    use_ema=True, gen_input_fn=gen_input_fn)
-        self.jit_step, self.state = shard_train_step(self.step_fn, self.mesh, state)
+        wire_step = self.step_fn
+        if self.input_transfer_dtype == 'uint8':
+            base_step = self.step_fn
+
+            def wire_step(state, batch, rng):
+                # dequantize the uint8 wire format on device (host side:
+                # _to_wire); /255 reproduces the loader's own uint8→fp32 map
+                batch = {k: batch[k].astype(jnp.float32) / 255.0
+                         for k in ('image', 'mask')}
+                return base_step(state, batch, rng)
+
+        self.jit_step, self.state = shard_train_step(wire_step, self.mesh, state)
         if self.steps_per_dispatch > 1:
             from ..parallel.mesh import shard_train_scan
-            self.jit_scan = shard_train_scan(self.step_fn, self.mesh, state)
+            self.jit_scan = shard_train_scan(wire_step, self.mesh, state)
         self._eval_forward = jax.jit(self._eval_forward_impl)
         self._discr_forward = jax.jit(self._discr_forward_impl)
         return self.state
@@ -383,6 +409,16 @@ class InpaintingTrainer:
         out['image'], out['mask'] = image, mask
         return out
 
+    def _to_wire(self, batch):
+        """Host side of the input wire format (see input_transfer_dtype):
+        select the transferred keys and, for uint8, quantize [0,1] floats to
+        bytes (np.rint inverts the loader's /255 exactly for
+        uint8-representable values)."""
+        if self.input_transfer_dtype == 'uint8':
+            return {k: np.rint(np.asarray(batch[k]) * 255.0).astype(np.uint8)
+                    for k in ('image', 'mask')}
+        return {'image': batch['image'], 'mask': batch['mask']}
+
     # ------------------------------------------------------------------- fit
     def fit(self, resume_from: Optional[str] = None):
         train_loader = self.train_dataloader()
@@ -418,8 +454,7 @@ class InpaintingTrainer:
                         self._dispatch_step_chunk(epoch, chunk)
                         chunk = []
                     continue
-                device_batch = put_batch({'image': batch['image'],
-                                          'mask': batch['mask']}, self.mesh)
+                device_batch = put_batch(self._to_wire(batch), self.mesh)
                 self.state, metrics = self.jit_step(
                     self.state, device_batch, jax.random.PRNGKey(self.global_step))
                 self._train_step_bookkeeping(
@@ -431,7 +466,10 @@ class InpaintingTrainer:
                             f'batch(es) < steps_per_dispatch={K}')
 
             LOGGER.info(f'epoch {epoch} train done in {time.time() - t_epoch:.1f}s')
+            t_val = time.time()
             val_metrics = self.validate(epoch)
+            LOGGER.info(f'epoch {epoch} validation done in '
+                        f'{time.time() - t_val:.1f}s')
             self._log_scalars('', val_metrics)
             if jax.process_index() == 0:
                 self.checkpoints.save(jax.device_get(self.state), epoch, val_metrics)
@@ -466,7 +504,8 @@ class InpaintingTrainer:
         exactly."""
         from ..parallel.mesh import put_step_stack
         k = len(chunk)
-        stacked = {key: np.stack([np.asarray(b[key]) for _, b in chunk])
+        wired = [self._to_wire(b) for _, b in chunk]
+        stacked = {key: np.stack([np.asarray(w[key]) for w in wired])
                    for key in ('image', 'mask')}
         keys = np.stack([np.asarray(jax.random.PRNGKey(self.global_step + i))
                          for i in range(k)])
@@ -509,8 +548,8 @@ class InpaintingTrainer:
         except Exception as e:
             LOGGER.warning(f'No {data_key} data ({e}); skipping')
             return {}
-        g_params = jax.device_get(self.state.g_params)
-        g_stats = jax.device_get(self.state.g_stats)
+        g_params, g_stats = self._local_view(self.state.g_params,
+                                             self.state.g_stats)
         states = []
         for batch_i, batch in enumerate(loader):
             if self.limit_val_batches and batch_i >= int(self.limit_val_batches):
@@ -553,23 +592,39 @@ class InpaintingTrainer:
             LOGGER.debug(f'validation table formatting failed: {e}')
 
     # ---------------------------------------------------------------- helpers
+    def _local_view(self, *trees):
+        """Device-resident, process-local views of replicated state pytrees
+        for the eval/vis jits: `addressable_data(0)` slices the local
+        replica WITHOUT a host round trip. (The previous `device_get` +
+        numpy-args pattern re-uploaded the full generator — ~108 MB for
+        big-lama — on EVERY eval-forward call, which dominates validation
+        wall time on transfer-bound links; BASELINE.md round 3.)"""
+        def leaf(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                return x.addressable_data(0)
+            return x
+        out = tuple(jax.tree.map(leaf, t) for t in trees)
+        return out if len(out) > 1 else out[0]
+
     def _visualize(self, epoch, batch_i, batch, suffix=''):
         try:
             vis_batch = {k: np.asarray(v) for k, v in batch.items()}
             if 'inpainted' not in vis_batch and self.state is not None:
                 image = jnp.asarray(vis_batch['image'])
                 mask = jnp.asarray(vis_batch['mask'])
-                pred, inpainted = self._eval_forward(
-                    jax.device_get(self.state.g_params),
-                    jax.device_get(self.state.g_stats), image, mask)
+                g_params, g_stats = self._local_view(self.state.g_params,
+                                                     self.state.g_stats)
+                pred, inpainted = self._eval_forward(g_params, g_stats,
+                                                     image, mask)
                 vis_batch['predicted_image'] = np.asarray(pred)
                 vis_batch['inpainted'] = np.asarray(inpainted)
             if self.store_discr_outputs_for_vis and self.state is not None:
                 # reference base.py:282-288: discr score maps on real/pred,
                 # nearest-upsampled, into the sample grids
+                d_params, d_stats = self._local_view(self.state.d_params,
+                                                     self.state.d_stats)
                 real_out, fake_out = self._discr_forward(
-                    jax.device_get(self.state.d_params),
-                    jax.device_get(self.state.d_stats),
+                    d_params, d_stats,
                     jnp.asarray(vis_batch['image']),
                     jnp.asarray(vis_batch['predicted_image']))
                 vis_batch['discr_output_real'] = np.asarray(real_out)

@@ -254,3 +254,37 @@ def test_trainer_steps_per_dispatch_guards(synth_data):
                      'trainer.kwargs.limit_train_batches=3'])
     with pytest.raises(ValueError, match='multiple of'):
         InpaintingTrainer(config, str(synth_data / 'run_guard2'))
+
+
+def test_trainer_uint8_input_transfer_matches_fp32(synth_data):
+    """input_transfer_dtype=uint8 (quantize on host, /255 inside the jitted
+    step — 4x less host->device traffic) must reproduce the fp32 wire's
+    trajectory exactly here: jpg-decoded images and binary masks are
+    uint8-representable, so rint(x*255)/255 is the identity and only
+    compile-level jitter separates the two programs."""
+    from lama_tpu.training.trainer import InpaintingTrainer
+    os.environ['LAMA_DATA_ROOT'] = str(synth_data)
+    os.environ.setdefault('TORCH_HOME', '/tmp/th')
+
+    def run(run_name, extra):
+        config = compose(os.path.join(REPO, 'configs', 'training'),
+                         'lama-fourier', OVERRIDES + extra)
+        trainer = InpaintingTrainer(config, str(synth_data / run_name))
+        log = []
+        trainer._log_scalars = lambda prefix, m: (
+            log.append(dict(m)) if prefix == 'train' else None)
+        trainer.fit()
+        return log
+
+    log1 = run('run_fp32wire', [])
+    log2 = run('run_u8wire', ['trainer.kwargs.input_transfer_dtype=uint8'])
+    assert len(log1) == len(log2) == 2
+    for m1, m2 in zip(log1, log2):
+        for k in m1:
+            np.testing.assert_allclose(m1[k], m2[k], rtol=1e-4, atol=1e-6,
+                                       err_msg=k)
+
+    config = compose(os.path.join(REPO, 'configs', 'training'), 'lama-fourier',
+                     OVERRIDES + ['trainer.kwargs.input_transfer_dtype=fp16'])
+    with pytest.raises(ValueError, match='input_transfer_dtype'):
+        InpaintingTrainer(config, str(synth_data / 'run_badwire'))
