@@ -53,7 +53,8 @@ def main(argv):
     generator, variables, _ = load_serving_model(
         cfg.model.path, checkpoint=str(cfg.model.checkpoint),
         precision=cfg.get('precision', 'bf16'))
-    _predict = make_inpaint_forward(generator)
+    wire = str(cfg.get('wire', 'fp32'))
+    _predict = make_inpaint_forward(generator, wire=wire)
 
     shapes_arg = cfg.get('shapes', '512x512')
     shapes = [tuple(int(v) for v in s.lower().split('x'))
@@ -93,8 +94,9 @@ def main(argv):
             LOGGER.info(f'refine {h}x{w}: compiled+ran in {time.time() - t0:.1f}s')
         else:
             bh, bw = bucket_shape(h, w, modulo, bucket, spatial_shards=spatial)
-            img = jax.ShapeDtypeStruct((batch, bh, bw, 3), jnp.float32)
-            msk = jax.ShapeDtypeStruct((batch, bh, bw, 1), jnp.float32)
+            in_dt = jnp.uint8 if wire == 'uint8' else jnp.float32
+            img = jax.ShapeDtypeStruct((batch, bh, bw, 3), in_dt)
+            msk = jax.ShapeDtypeStruct((batch, bh, bw, 1), in_dt)
             fn = sharded_fn if spatial > 1 else jax.jit(_predict)
             fn.lower(variables, img, msk).compile()
             LOGGER.info(f'predict {h}x{w} -> bucket {bh}x{bw} b{batch}'

@@ -25,9 +25,12 @@ def load_image(fname, mode='RGB', return_orig=False):
 
 
 def save_image(fname, img):
-    """float [0,1] HWC RGB -> 8-bit file (any cv2-supported extension)."""
+    """float [0,1] (or pre-quantized uint8) HWC RGB -> 8-bit file (any
+    cv2-supported extension)."""
     os.makedirs(os.path.dirname(fname), exist_ok=True)
-    arr = np.clip(np.asarray(img) * 255.0, 0, 255).astype('uint8')
+    arr = np.asarray(img)
+    if arr.dtype != np.uint8:  # uint8 passes through (serving wire=uint8)
+        arr = np.clip(arr * 255.0, 0, 255).astype('uint8')
     if arr.ndim == 3 and arr.shape[-1] == 3:
         arr = cv2.cvtColor(arr, cv2.COLOR_RGB2BGR)
     cv2.imwrite(fname, arr)

@@ -65,12 +65,35 @@ def bucket_shape(h: int, w: int, modulo: int, bucket: int,
     return bh, bw
 
 
-def make_inpaint_forward(generator):
-    """The serving forward: (variables, image NHW3 [0,1], mask NHW1) ->
-    composited inpainted image, fp32."""
+def make_inpaint_forward(generator, wire: str = 'fp32'):
+    """The serving forward: (variables, image NHW3, mask NHW1) -> composited
+    inpainted image.
+
+    `wire` sets the host<->device transfer format (the CLI's `wire=` option):
+    - 'fp32': image/mask arrive as float32 in [0,1]/{0,1}; fp32 out. The
+      reference protocol's dtypes (bin/predict.py:67-94 hands fp32 to torch).
+    - 'uint8': image arrives as uint8 0-255 (host quantizes via rint(x*255)),
+      mask as uint8 {0,1}; the composite leaves the device as uint8 via
+      floor(clip(out*255, 0, 255)) — the IDENTICAL map save_image applies to
+      fp32 results on host (np.clip(x*255).astype(uint8) truncates, and
+      floor == truncation for non-negative values), so the written 8-bit
+      files are bit-equal to the fp32 wire's whenever the inputs are
+      8-bit-sourced and un-resized. 8x less traffic per served batch
+      (66 MB -> 17 MB in, 4x out at 512^2 b16 — BASELINE.md relay bandwidth).
+    """
+    if wire not in ('fp32', 'uint8'):
+        raise ValueError(f'wire={wire!r}: expected fp32 or uint8')
+    u8 = wire == 'uint8'
+
     def _predict(variables, image, mask):
+        if u8:
+            image = image.astype(jnp.float32) / 255.0
+            mask = mask.astype(jnp.float32)
         masked = image * (1 - mask)
         x = jnp.concatenate([masked, mask], axis=-1)
         pred = generator.apply(variables, x, train=False)
-        return (mask * pred + (1 - mask) * image).astype(jnp.float32)
+        out = (mask * pred + (1 - mask) * image).astype(jnp.float32)
+        if u8:
+            return jnp.floor(jnp.clip(out * 255.0, 0.0, 255.0)).astype(jnp.uint8)
+        return out
     return _predict

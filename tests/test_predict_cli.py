@@ -99,6 +99,38 @@ def test_predict_cli_batched_matches_batch1(tmp_path, rng):
         np.testing.assert_array_equal(a, b)
 
 
+def test_predict_cli_uint8_wire_bit_equal(tmp_path, rng):
+    """wire=uint8 transfers uint8 both ways; for 8-bit-sourced un-resized
+    inputs the written PNGs must be BIT-EQUAL to the fp32 wire's: uint8/255
+    reproduces the loader's floats exactly, and the device applies
+    save_image's own clip*255-truncate map (floor == truncation >= 0)."""
+    import subprocess
+    make_model_dir(tmp_path)
+    indir = tmp_path / 'in'
+    indir.mkdir()
+    for i in range(3):  # batch_size=2 -> one full group + one repeat-padded
+        img = (rng.rand(72, 88, 3) * 255).astype(np.uint8)
+        mask = np.zeros((72, 88), np.uint8)
+        mask[20:40, 30:60] = 255
+        save_image(str(indir / f'img{i}.png'), img / 255.0)
+        save_image(str(indir / f'img{i}_mask001.png'), mask[..., None] / 255.0)
+
+    env = dict(os.environ, JAX_PLATFORMS='cpu')
+    outs = {}
+    for wire in ('fp32', 'uint8'):
+        outdir = tmp_path / f'out_{wire}'
+        res = subprocess.run(
+            [sys.executable, os.path.join(REPO, 'bin', 'predict.py'),
+             f'model.path={tmp_path / "model"}', f'indir={indir}',
+             f'outdir={outdir}', 'device=cpu', 'batch_size=2', f'wire={wire}'],
+            capture_output=True, text=True, env=env, cwd=REPO, timeout=600)
+        assert res.returncode == 0, res.stderr[-2000:]
+        outs[wire] = [np.asarray(load_image(str(outdir / f'img{i}_mask001.png')))
+                      for i in range(3)]
+    for a, b in zip(outs['fp32'], outs['uint8']):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_predict_cli_spatial_shards(tmp_path, rng):
     """spatial_shards=2 shards the image H axis over the virtual CPU mesh;
     output must match the unsharded run."""
