@@ -148,16 +148,20 @@ def test_predict_cli_spatial_shards(tmp_path, rng):
                XLA_FLAGS=os.environ.get('XLA_FLAGS', '')
                + ' --xla_force_host_platform_device_count=2')
     outs = {}
-    for shards in (0, 2):
-        outdir = tmp_path / f'out_s{shards}'
+    # (shards, wire): the uint8 wire must compose with the (data, space)
+    # mesh — uint8 arrays shard and dequantize on device like fp32 ones
+    for shards, wire in ((0, 'fp32'), (2, 'fp32'), (2, 'uint8')):
+        outdir = tmp_path / f'out_s{shards}_{wire}'
         res = subprocess.run(
             [sys.executable, os.path.join(REPO, 'bin', 'predict.py'),
              f'model.path={tmp_path / "model"}', f'indir={indir}',
-             f'outdir={outdir}', 'device=cpu', f'spatial_shards={shards}'],
+             f'outdir={outdir}', 'device=cpu', f'spatial_shards={shards}',
+             f'wire={wire}'],
             capture_output=True, text=True, env=env, cwd=REPO, timeout=600)
         assert res.returncode == 0, res.stderr[-2000:]
-        outs[shards] = load_image(str(outdir / 'img0_mask001.png'))
-    np.testing.assert_allclose(outs[2], outs[0], atol=2e-2)
+        outs[shards, wire] = load_image(str(outdir / 'img0_mask001.png'))
+    np.testing.assert_allclose(outs[2, 'fp32'], outs[0, 'fp32'], atol=2e-2)
+    np.testing.assert_array_equal(outs[2, 'uint8'], outs[2, 'fp32'])
 
 
 def test_predict_cli_refine_with_spatial_shards(tmp_path, rng):
