@@ -278,11 +278,17 @@ def test_trainer_uint8_input_transfer_matches_fp32(synth_data):
 
     log1 = run('run_fp32wire', [])
     log2 = run('run_u8wire', ['trainer.kwargs.input_transfer_dtype=uint8'])
-    assert len(log1) == len(log2) == 2
-    for m1, m2 in zip(log1, log2):
+    # both knobs together: the scan dispatch must stack/dequantize the uint8
+    # wire exactly like the K=1 path (same trajectory within float jitter)
+    log3 = run('run_u8wire_k2', ['trainer.kwargs.input_transfer_dtype=uint8',
+                                 'trainer.kwargs.steps_per_dispatch=2'])
+    assert len(log1) == len(log2) == len(log3) == 2
+    for m1, m2, m3 in zip(log1, log2, log3):
         for k in m1:
             np.testing.assert_allclose(m1[k], m2[k], rtol=1e-4, atol=1e-6,
                                        err_msg=k)
+            np.testing.assert_allclose(m1[k], m3[k], rtol=1e-4, atol=1e-6,
+                                       err_msg=f'{k} (steps_per_dispatch=2)')
 
     config = compose(os.path.join(REPO, 'configs', 'training'), 'lama-fourier',
                      OVERRIDES + ['trainer.kwargs.input_transfer_dtype=fp16'])
