@@ -370,6 +370,15 @@ class Conv2d(nn.Module):
                             self.param_dtype)
         bias = self.param('bias', kaiming, (self.features,), self.param_dtype) if self.use_bias else None
         dtype = self.dtype or x.dtype
+        from . import quant
+        if quant.INT8_SERVING and quant.conv_eligible(in_features, self.groups,
+                                                      kh, kw):
+            # opt-in int8 serving path (precision=int8): int8 MXU contraction
+            # with dynamic activation / per-channel weight scales
+            return quant.quantized_conv2d(
+                x, kernel, bias=bias, stride=self.stride, padding=self.padding,
+                dilation=self.dilation, groups=self.groups,
+                padding_mode=self.padding_mode, out_dtype=dtype)
         out = conv2d(x.astype(dtype), kernel.astype(dtype),
                      bias=None if bias is None else bias,
                      stride=self.stride, padding=self.padding, dilation=self.dilation,

@@ -1,0 +1,95 @@
+"""Opt-in int8 serving quantization for MXU convolutions.
+
+The v5e MXU executes int8 x int8 -> int32 at 2x the bf16 peak (394 vs 197
+TOPS), and the measured big-lama serving bottleneck is its 3x3 bottleneck
+convs at ~67% bf16 MFU (BASELINE.md). `quantized_conv2d` runs a Conv2d
+contraction in int8 — per-tensor dynamic activation scale, per-output-
+channel weight scales — and dequantizes into the module's compute dtype.
+
+Scope and numerics:
+- SERVING-ONLY and OPT-IN: `precision=int8` in bin/predict.py /
+  bin/precompile.py sets `INT8_SERVING`; training, the default bf16 path
+  and the fp32 reference-numerics path are untouched.
+- Symmetric round-to-nearest over [-127, 127] (no zero-points: activation
+  distributions here are ReLU/BN outputs and weights are near-symmetric;
+  zero maps to zero so fused zero-padding stays exact).
+- Only contraction-heavy convs quantize (`conv_eligible`): the 3/4-channel
+  stem and the 3-channel out head stay in the compute dtype — they carry
+  the most visible pixels and the least MXU work.
+- The FFC spectral path (DFT matmuls, ops/spectral.py) is NOT quantized —
+  fp32/bf16 spectral precision is a repo invariant (CLAUDE.md).
+
+Reference counterpart being re-designed: none — the reference serves fp32
+torch eager (bin/predict.py:67-94); int8 is TPU-hardware headroom.
+"""
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from .pad import pad2d
+
+# Global serving switch, set by load_serving_model(precision='int8').
+# Module-level toggle by design — matches the measured-variant flags in
+# ops/conv.py and keeps the training path entirely flag-free.
+INT8_SERVING = False
+
+# Quantize only convs whose per-group contraction depth reaches the MXU's
+# 128-lane tile: below this the conv is layout/bandwidth-bound and int8
+# just adds quant/dequant passes.
+MIN_CONTRACTION_CHANNELS = 64
+
+
+def conv_eligible(in_features: int, groups: int, kh: int, kw: int) -> bool:
+    return in_features // max(groups, 1) >= MIN_CONTRACTION_CHANNELS
+
+
+def _pair(v) -> Tuple[int, int]:
+    if isinstance(v, (tuple, list)):
+        return tuple(v)
+    return (v, v)
+
+
+def quantized_conv2d(x, kernel, bias=None, stride=1, padding=0, dilation=1,
+                     groups=1, padding_mode='zeros',
+                     out_dtype: Optional[jnp.dtype] = None):
+    """int8 conv with torch-compatible semantics (NHWC / HWIO, see
+    ops/conv.py::conv2d). Activations: one dynamic per-tensor scale
+    (amax/127). Weights: per-output-channel scales. Accumulation: int32 on
+    the MXU; dequant + bias in fp32, cast to `out_dtype`."""
+    stride = _pair(stride)
+    dilation = _pair(dilation)
+    padding = _pair(padding)
+    if isinstance(padding[0], int):
+        padding = ((padding[0], padding[0]), (padding[1], padding[1]))
+
+    w32 = kernel.astype(jnp.float32)
+    s_w = jnp.maximum(jnp.max(jnp.abs(w32), axis=(0, 1, 2)), 1e-12) / 127.0
+    wq = jnp.clip(jnp.round(w32 / s_w), -127, 127).astype(jnp.int8)
+
+    x32 = x.astype(jnp.float32)
+    s_x = jnp.maximum(jnp.max(jnp.abs(x32)), 1e-12) / 127.0
+    xq = jnp.clip(jnp.round(x32 / s_x), -127, 127).astype(jnp.int8)
+
+    has_pad = any(p != 0 for pair in padding for p in pair)
+    if padding_mode != 'zeros' and has_pad:
+        # reflect/replicate gather in the int8 domain (pure index copies);
+        # zero padding stays fused in the conv (0 quantizes to 0 exactly)
+        xq = pad2d(xq, padding, mode=padding_mode)
+        conv_padding = ((0, 0), (0, 0))
+    else:
+        conv_padding = padding
+
+    acc = jax.lax.conv_general_dilated(
+        xq, wq,
+        window_strides=stride,
+        padding=conv_padding,
+        rhs_dilation=dilation,
+        feature_group_count=groups,
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * (s_x * s_w).reshape(1, 1, 1, -1)
+    if bias is not None:
+        out = out + bias.reshape(1, 1, 1, -1).astype(jnp.float32)
+    return out.astype(out_dtype or x.dtype)

@@ -26,7 +26,14 @@ def load_serving_model(model_path: str, checkpoint: str = 'best',
     resolve_interpolations(train_config)
     gen_kwargs = dict(train_config.generator)
     kind = gen_kwargs.pop('kind')
-    dtype = {'bf16': jnp.bfloat16, 'fp32': jnp.float32}[precision]
+    # int8: bf16 compute dtype everywhere, with eligible Conv2d contractions
+    # routed through the int8 MXU path (ops/quant.py, 2x bf16 peak on v5e);
+    # spectral stays fp32/bf16 per the repo invariant. Opt-in, serving-only.
+    dtype = {'bf16': jnp.bfloat16, 'fp32': jnp.float32,
+             'int8': jnp.bfloat16}[precision]
+    from .ops import quant
+    quant.INT8_SERVING = (precision == 'int8')  # explicit both ways: a
+    # later fp32/bf16 load in the same process must clear the mode
     generator = make_generator(kind, dtype=dtype, **gen_kwargs)
 
     ckpt = os.path.join(model_path, 'models', str(checkpoint))

@@ -1,0 +1,75 @@
+"""int8 serving quantization (ops/quant.py): conv-level error bounds,
+padding-mode parity, and the precision=int8 serving path end to end."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lama_tpu.ops import quant
+from lama_tpu.ops.conv import conv2d
+from lama_tpu.ops.quant import conv_eligible, quantized_conv2d
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, 'bin'))
+
+
+@pytest.mark.parametrize('padding_mode,stride,dilation,groups', [
+    ('zeros', 1, 1, 1),
+    ('reflect', 1, 1, 1),
+    ('reflect', 2, 1, 1),
+    ('zeros', 1, 2, 1),
+    ('zeros', 1, 1, 2),
+])
+def test_quantized_conv2d_close_to_fp32(rng, padding_mode, stride, dilation,
+                                        groups):
+    x = jnp.asarray(rng.randn(2, 16, 16, 64).astype(np.float32))
+    w = jnp.asarray((rng.randn(3, 3, 64 // groups, 96) * 0.05).astype(np.float32))
+    b = jnp.asarray(rng.randn(96).astype(np.float32) * 0.1)
+    ref = conv2d(x, w, bias=b, stride=stride, padding=dilation, dilation=dilation,
+                 groups=groups, padding_mode=padding_mode)
+    q = quantized_conv2d(x, w, bias=b, stride=stride, padding=dilation,
+                         dilation=dilation, groups=groups,
+                         padding_mode=padding_mode, out_dtype=jnp.float32)
+    assert q.shape == ref.shape and q.dtype == ref.dtype
+    # symmetric 8-bit quantization of both operands: ~0.5-1% relative rms
+    rel = float(jnp.linalg.norm(q - ref) / (jnp.linalg.norm(ref) + 1e-9))
+    assert rel < 0.02, rel
+
+
+def test_conv_eligibility_bounds():
+    assert conv_eligible(64, 1, 3, 3)
+    assert conv_eligible(128, 2, 1, 1)
+    assert not conv_eligible(4, 1, 7, 7)    # stem: stays in compute dtype
+    assert not conv_eligible(64, 2, 3, 3)   # 32 per group < MXU tile
+
+
+def test_int8_serving_path_end_to_end(tmp_path, rng):
+    """precision=int8 through load_serving_model + make_inpaint_forward:
+    runs under jit, composite preserves known pixels exactly, hole output
+    stays close to the fp32 serve, and the flag clears on a later load."""
+    from test_predict_cli import make_model_dir
+    from lama_tpu.serving import load_serving_model, make_inpaint_forward
+
+    model_dir = make_model_dir(tmp_path)
+    img = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    mask = jnp.zeros((1, 64, 64, 1), jnp.float32).at[:, 16:40, 16:40].set(1.0)
+
+    outs = {}
+    for precision in ('fp32', 'int8'):
+        gen, variables, _ = load_serving_model(str(model_dir), 'best',
+                                               precision=precision)
+        assert quant.INT8_SERVING == (precision == 'int8')
+        fn = jax.jit(make_inpaint_forward(gen))
+        outs[precision] = np.asarray(fn(variables, img, mask))
+    quant.INT8_SERVING = False
+
+    known = np.asarray(mask[0, ..., 0]) == 0
+    np.testing.assert_array_equal(outs['int8'][0][known], np.asarray(img)[0][known])
+    # random tiny model, sigmoid head: int8 drift stays well under visibility
+    hole_diff = np.abs(outs['int8'][0][~known] - outs['fp32'][0][~known])
+    assert hole_diff.max() < 0.15, hole_diff.max()
+    assert hole_diff.mean() < 0.02, hole_diff.mean()
