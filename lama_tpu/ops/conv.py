@@ -414,6 +414,14 @@ class ConvTranspose2d(nn.Module):
                             self.param_dtype)
         bias = self.param('bias', kaiming, (self.features,), self.param_dtype) if self.use_bias else None
         dtype = self.dtype or x.dtype
+        from . import quant
+        if quant.INT8_SERVING and quant.conv_eligible(in_features, 1, kh, kw):
+            # opt-in int8 serving path — rear upsampling contractions are as
+            # deep as the bottleneck convs (512->256) at larger spatial sizes
+            return quant.quantized_conv_transpose2d(
+                x, kernel, bias=bias, stride=self.stride,
+                padding=self.padding, output_padding=self.output_padding,
+                out_dtype=dtype)
         return conv_transpose2d(x.astype(dtype), kernel.astype(dtype),
                                 bias=None if bias is None else bias,
                                 stride=self.stride, padding=self.padding,

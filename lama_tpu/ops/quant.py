@@ -93,3 +93,44 @@ def quantized_conv2d(x, kernel, bias=None, stride=1, padding=0, dilation=1,
     if bias is not None:
         out = out + bias.reshape(1, 1, 1, -1).astype(jnp.float32)
     return out.astype(out_dtype or x.dtype)
+
+
+def quantized_conv_transpose2d(x, kernel, bias=None, stride=2, padding=1,
+                               output_padding=1,
+                               out_dtype: Optional[jnp.dtype] = None):
+    """int8 transposed conv with torch ConvTranspose2d semantics (see
+    ops/conv.py::conv_transpose2d: input-dilated conv with the spatially
+    flipped kernel). The lhs-dilation zeros are exact in int8, so the only
+    error source is the symmetric operand quantization — same bounds as
+    quantized_conv2d. Used by big-lama's rear upsampling stack (512->256
+    deep contractions at the largest spatial sizes)."""
+    stride = _pair(stride)
+    padding = _pair(padding)
+    output_padding = _pair(output_padding)
+    kh, kw = kernel.shape[0], kernel.shape[1]
+
+    w32 = kernel.astype(jnp.float32)
+    # kernel is HWIO with O = out_channels (converter has already transposed
+    # torch's (in, out, kh, kw)) — per-output-channel scales over axis -1
+    s_w = jnp.maximum(jnp.max(jnp.abs(w32), axis=(0, 1, 2)), 1e-12) / 127.0
+    wq = jnp.clip(jnp.round(w32 / s_w), -127, 127).astype(jnp.int8)
+
+    x32 = x.astype(jnp.float32)
+    s_x = jnp.maximum(jnp.max(jnp.abs(x32)), 1e-12) / 127.0
+    xq = jnp.clip(jnp.round(x32 / s_x), -127, 127).astype(jnp.int8)
+
+    pad_h = kh - 1 - padding[0]
+    pad_w = kw - 1 - padding[1]
+    acc = jax.lax.conv_general_dilated(
+        xq, jnp.flip(wq, axis=(0, 1)),
+        window_strides=(1, 1),
+        padding=((pad_h, pad_h + output_padding[0]),
+                 (pad_w, pad_w + output_padding[1])),
+        lhs_dilation=stride,
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * (s_x * s_w).reshape(1, 1, 1, -1)
+    if bias is not None:
+        out = out + bias.reshape(1, 1, 1, -1).astype(jnp.float32)
+    return out.astype(out_dtype or x.dtype)

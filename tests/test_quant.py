@@ -40,6 +40,29 @@ def test_quantized_conv2d_close_to_fp32(rng, padding_mode, stride, dilation,
     assert rel < 0.02, rel
 
 
+@pytest.mark.parametrize('stride,padding,output_padding', [
+    (2, 1, 1),   # big-lama rear upsampling (k3 s2 p1 op1)
+    (2, 0, 0),
+    (1, 1, 0),
+])
+def test_quantized_conv_transpose2d_close_to_fp32(rng, stride, padding,
+                                                  output_padding):
+    from lama_tpu.ops.conv import conv_transpose2d
+    from lama_tpu.ops.quant import quantized_conv_transpose2d
+    x = jnp.asarray(rng.randn(2, 8, 8, 128).astype(np.float32))
+    w = jnp.asarray((rng.randn(3, 3, 128, 64) * 0.05).astype(np.float32))
+    b = jnp.asarray(rng.randn(64).astype(np.float32) * 0.1)
+    ref = conv_transpose2d(x, w, bias=b, stride=stride, padding=padding,
+                           output_padding=output_padding)
+    q = quantized_conv_transpose2d(x, w, bias=b, stride=stride,
+                                   padding=padding,
+                                   output_padding=output_padding,
+                                   out_dtype=jnp.float32)
+    assert q.shape == ref.shape and q.dtype == ref.dtype
+    rel = float(jnp.linalg.norm(q - ref) / (jnp.linalg.norm(ref) + 1e-9))
+    assert rel < 0.02, rel
+
+
 def test_conv_eligibility_bounds():
     assert conv_eligible(64, 1, 3, 3)
     assert conv_eligible(128, 2, 1, 1)
