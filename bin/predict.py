@@ -118,6 +118,21 @@ def main(argv):
     batch_size = 1 if use_refine else max(1, int(predict_config.get('batch_size', 1)))
     groups = {}
 
+    # pipeline_depth: jax dispatch is asynchronous, so keeping up to N-1
+    # batches in flight overlaps the host work (disk reads, bucket padding,
+    # PNG encodes) with device compute — the fetch (np.asarray) of batch k
+    # happens only after batch k+1 is dispatched. Depth 1 = the synchronous
+    # reference behaviour; results are bit-identical either way (tested).
+    depth = max(1, int(predict_config.get('pipeline_depth', 2)))
+    in_flight = []  # [(entries, device_out)]
+
+    def drain(count=0):
+        while len(in_flight) > count:
+            entries, out_dev = in_flight.pop(0)
+            out = np.asarray(out_dev)
+            for e, res in zip(entries, out[:len(entries)]):
+                save_image(e['out_fname'], res[:e['orig_h'], :e['orig_w']])
+
     def flush(entries):
         n = len(entries)
         imgs = [e['image'] for e in entries]
@@ -131,10 +146,10 @@ def main(argv):
         else:
             img_arr = np.stack(imgs)
             mask_arr = (np.stack(masks) > 0).astype(np.float32)
-        out = np.asarray(predict_fn(
-            variables, jnp.asarray(img_arr), jnp.asarray(mask_arr)))
-        for e, res in zip(entries, out[:n]):
-            save_image(e['out_fname'], res[:e['orig_h'], :e['orig_w']])
+        out_dev = predict_fn(
+            variables, jnp.asarray(img_arr), jnp.asarray(mask_arr))
+        in_flight.append((entries[:n], out_dev))
+        drain(depth - 1)
 
     for img_i in range(len(dataset)):
         mask_fname = dataset.mask_filenames[img_i]
@@ -184,6 +199,7 @@ def main(argv):
     for pending in groups.values():
         if pending:
             flush(pending)
+    drain()
 
     LOGGER.info(f'Predicted {len(dataset)} images to {predict_config.outdir}')
 

@@ -99,6 +99,33 @@ def test_predict_cli_batched_matches_batch1(tmp_path, rng):
         np.testing.assert_array_equal(a, b)
 
 
+def test_predict_cli_pipeline_depth_bit_equal(tmp_path, rng):
+    """pipeline_depth keeps dispatched batches in flight (async overlap of
+    host I/O with device compute); written PNGs must be bit-equal to the
+    synchronous depth=1 path, including the drain of the final short group."""
+    import predict as predict_cli
+    model_dir = make_model_dir(tmp_path)
+    indir = tmp_path / 'in'
+    indir.mkdir()
+    for i in range(5):  # batch 2 -> two full groups + one short, drained last
+        img = rng.rand(64, 64, 3).astype(np.float32)
+        mask = np.zeros((64, 64, 1), np.float32)
+        mask[16:40, 16:40] = 1.0
+        save_image(str(indir / f'img{i}.png'), img)
+        save_image(str(indir / f'img{i}_mask.png'), mask)
+
+    outs = {}
+    for depth in (1, 4):
+        outdir = tmp_path / f'out_d{depth}'
+        predict_cli.main([f'model.path={model_dir}', f'indir={indir}',
+                          f'outdir={outdir}', 'device=cpu', 'batch_size=2',
+                          f'pipeline_depth={depth}'])
+        outs[depth] = [load_image(str(outdir / f'img{i}_mask.png'))
+                       for i in range(5)]
+    for a, b in zip(outs[1], outs[4]):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_predict_cli_uint8_wire_bit_equal(tmp_path, rng):
     """wire=uint8 transfers uint8 both ways; for 8-bit-sourced un-resized
     inputs the written PNGs must be BIT-EQUAL to the fp32 wire's: uint8/255
