@@ -58,6 +58,14 @@ def main(argv):
     for key in ('indir', 'outdir'):
         if not isinstance(predict_config.get(key), str):
             raise ValueError(f'{key} must be given ({key}=<path>)')
+    if (bool(predict_config.get('refine', False))
+            and str(predict_config.get('precision', 'bf16')) == 'int8'):
+        # refinement optimizes features by gradient THROUGH the rear of the
+        # generator; the int8 path's round() has zero gradient, which would
+        # silently turn the Adam loop into a no-op
+        raise ValueError('refine=true is incompatible with precision=int8 '
+                         '(quantization blocks the refinement gradients); '
+                         'use precision=bf16 or fp32')
     generator, variables, gen_kwargs = load_serving_model(
         model_path, checkpoint=str(predict_config.model.checkpoint),
         precision=predict_config.get('precision', 'bf16'))

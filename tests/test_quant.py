@@ -70,6 +70,25 @@ def test_conv_eligibility_bounds():
     assert not conv_eligible(64, 2, 3, 3)   # 32 per group < MXU tile
 
 
+def test_refine_rejects_int8(tmp_path, rng):
+    """refine optimizes features by gradient through the rear; int8's round()
+    has zero gradient, so the CLI must reject the combination loudly."""
+    from test_predict_cli import make_model_dir
+    import predict as predict_cli
+    model_dir = make_model_dir(tmp_path)
+    indir = tmp_path / 'in'
+    indir.mkdir()
+    from lama_tpu.data.io import save_image
+    save_image(str(indir / 'a.png'), rng.rand(64, 64, 3).astype(np.float32))
+    save_image(str(indir / 'a_mask.png'),
+               np.ones((64, 64, 1), np.float32))
+    with pytest.raises(ValueError, match='int8'):
+        predict_cli.main([f'model.path={model_dir}', f'indir={indir}',
+                          f'outdir={tmp_path / "out"}', 'device=cpu',
+                          'refine=true', 'precision=int8'])
+    quant.INT8_SERVING = False
+
+
 def test_int8_serving_path_end_to_end(tmp_path, rng):
     """precision=int8 through load_serving_model + make_inpaint_forward:
     runs under jit, composite preserves known pixels exactly, hole output
