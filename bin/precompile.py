@@ -54,7 +54,8 @@ def main(argv):
         cfg.model.path, checkpoint=str(cfg.model.checkpoint),
         precision=cfg.get('precision', 'bf16'))
     wire = str(cfg.get('wire', 'fp32'))
-    _predict = make_inpaint_forward(generator, wire=wire)
+    _predict = make_inpaint_forward(
+        generator, wire=wire, out_key=str(cfg.get('out_key', 'inpainted')))
 
     shapes_arg = cfg.get('shapes', '512x512')
     shapes = [tuple(int(v) for v in s.lower().split('x'))

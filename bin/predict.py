@@ -85,7 +85,8 @@ def main(argv):
     # 17 MB up + 50 MB -> 12.5 MB down per 512² b16 batch. fp32 (default) =
     # reference wire dtypes.
     wire = str(predict_config.get('wire', 'fp32'))
-    _predict = make_inpaint_forward(generator, wire=wire)
+    _predict = make_inpaint_forward(
+        generator, wire=wire, out_key=str(predict_config.get('out_key', 'inpainted')))
 
     # spatial_shards=N splits the image H axis over N devices — the >HBM
     # resolution serving path (2-D mesh; GSPMD inserts the conv halo

@@ -72,9 +72,16 @@ def bucket_shape(h: int, w: int, modulo: int, bucket: int,
     return bh, bw
 
 
-def make_inpaint_forward(generator, wire: str = 'fp32'):
+def make_inpaint_forward(generator, wire: str = 'fp32',
+                         out_key: str = 'inpainted'):
     """The serving forward: (variables, image NHW3, mask NHW1) -> composited
     inpainted image.
+
+    `out_key` selects the served result, mirroring the reference's
+    `batch[predict_config.out_key]` (bin/predict.py:86, batch keys built in
+    training/trainers/default.py:70-71): 'inpainted' (default) is the
+    known-pixel-preserving composite, 'predicted_image' the raw generator
+    output over the full frame.
 
     `wire` sets the host<->device transfer format (the CLI's `wire=` option):
     - 'fp32': image/mask arrive as float32 in [0,1]/{0,1}; fp32 out. The
@@ -90,6 +97,9 @@ def make_inpaint_forward(generator, wire: str = 'fp32'):
     """
     if wire not in ('fp32', 'uint8'):
         raise ValueError(f'wire={wire!r}: expected fp32 or uint8')
+    if out_key not in ('inpainted', 'predicted_image'):
+        raise ValueError(f'out_key={out_key!r}: expected inpainted or '
+                         'predicted_image')
     u8 = wire == 'uint8'
 
     def _predict(variables, image, mask):
@@ -99,7 +109,10 @@ def make_inpaint_forward(generator, wire: str = 'fp32'):
         masked = image * (1 - mask)
         x = jnp.concatenate([masked, mask], axis=-1)
         pred = generator.apply(variables, x, train=False)
-        out = (mask * pred + (1 - mask) * image).astype(jnp.float32)
+        if out_key == 'predicted_image':
+            out = pred.astype(jnp.float32)
+        else:
+            out = (mask * pred + (1 - mask) * image).astype(jnp.float32)
         if u8:
             return jnp.floor(jnp.clip(out * 255.0, 0.0, 255.0)).astype(jnp.uint8)
         return out

@@ -4,6 +4,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 import yaml
 
 import jax
@@ -97,6 +98,43 @@ def test_predict_cli_batched_matches_batch1(tmp_path, rng):
                     for i in range(3)]
     for a, b in zip(outs[1], outs[2]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_predict_cli_out_key_predicted_image(tmp_path, rng):
+    """out_key=predicted_image serves the raw generator output over the full
+    frame (reference bin/predict.py:86 indexes batch[out_key]; keys built in
+    trainers/default.py:70-71) — no known-pixel composite; inside the hole it
+    matches the default inpainted output exactly."""
+    import predict as predict_cli
+    model_dir = make_model_dir(tmp_path)
+    indir = tmp_path / 'in'
+    indir.mkdir()
+    img = rng.rand(64, 64, 3).astype(np.float32)
+    mask = np.zeros((64, 64, 1), np.float32)
+    mask[16:40, 16:40] = 1.0
+    save_image(str(indir / 'a.png'), img)
+    save_image(str(indir / 'a_mask.png'), mask)
+
+    outs = {}
+    for key in ('inpainted', 'predicted_image'):
+        outdir = tmp_path / f'out_{key}'
+        predict_cli.main([f'model.path={model_dir}', f'indir={indir}',
+                          f'outdir={outdir}', 'device=cpu',
+                          'precision=fp32', f'out_key={key}'])
+        outs[key] = load_image(str(outdir / 'a_mask.png'))
+    known = mask[..., 0] == 0
+    hole = ~known
+    np.testing.assert_array_equal(outs['inpainted'][hole],
+                                  outs['predicted_image'][hole])
+    src = load_image(str(indir / 'a.png'))
+    np.testing.assert_allclose(outs['inpainted'][known], src[known],
+                               atol=2 / 255)
+    # raw prediction: the known region is repainted, not composited
+    assert np.abs(outs['predicted_image'][known] - src[known]).max() > 0.02
+
+    with pytest.raises(ValueError, match='out_key'):
+        from lama_tpu.serving import make_inpaint_forward
+        make_inpaint_forward(object(), out_key='nope')
 
 
 def test_predict_cli_pipeline_depth_bit_equal(tmp_path, rng):
