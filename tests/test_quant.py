@@ -70,6 +70,36 @@ def test_conv_eligibility_bounds():
     assert not conv_eligible(64, 2, 3, 3)   # 32 per group < MXU tile
 
 
+def test_int8_composes_with_spatial_shards(tmp_path, rng):
+    """precision=int8 under spatial_shards: the dynamic per-tensor activation
+    amax becomes a GSPMD collective over the H-sharded tensor — the global
+    max is order-exact, so sharded int8 outputs must bit-match unsharded
+    int8 outputs."""
+    from test_predict_cli import make_model_dir
+    from lama_tpu.data.io import load_image, save_image
+    from lama_tpu.ops import quant
+    import predict as predict_cli
+
+    model_dir = make_model_dir(tmp_path)
+    indir = tmp_path / 'in'
+    indir.mkdir()
+    img = rng.rand(64, 64, 3).astype(np.float32)
+    mask = np.zeros((64, 64, 1), np.float32)
+    mask[16:40, 16:40] = 1.0
+    save_image(str(indir / 'a.png'), img)
+    save_image(str(indir / 'a_mask.png'), mask)
+
+    outs = {}
+    for shards in (0, 2):
+        outdir = tmp_path / f'out_s{shards}'
+        predict_cli.main([f'model.path={model_dir}', f'indir={indir}',
+                          f'outdir={outdir}', 'device=cpu', 'precision=int8',
+                          f'spatial_shards={shards}'])
+        outs[shards] = load_image(str(outdir / 'a_mask.png'))
+    quant.INT8_SERVING = False
+    np.testing.assert_array_equal(outs[0], outs[2])
+
+
 def test_refine_rejects_int8(tmp_path, rng):
     """refine optimizes features by gradient through the rear; int8's round()
     has zero gradient, so the CLI must reject the combination loudly."""
