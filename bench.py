@@ -86,12 +86,18 @@ if __name__ == '__main__':
         sys.exit(main())
     except Exception as e:  # noqa: BLE001
         # The axon relay occasionally fails a transfer with FAILED_PRECONDITION
-        # and wedges the client process (observed 2026-08-17); one retry in a
-        # FRESH process recovers. Stdout (the JSON line) passes through.
-        if os.environ.get('LAMA_BENCH_RETRY') == '1':
+        # and wedges the client process, and has been observed fully down
+        # (backend init UNAVAILABLE) for stretches of minutes-to-hours
+        # (2026-08-17). Retry in a FRESH process — immediately once, then with
+        # 3-minute waits — so a transient outage doesn't cost the round its
+        # benchmark. Stdout (the JSON line) passes through untouched.
+        attempt = int(os.environ.get('LAMA_BENCH_RETRY', '0'))
+        if attempt >= 3:
             raise
-        print(f'bench attempt failed ({type(e).__name__}: {e}); '
-              'retrying once in a fresh process', file=sys.stderr, flush=True)
-        env = dict(os.environ, LAMA_BENCH_RETRY='1')
+        if attempt > 0:
+            time.sleep(180)
+        print(f'bench attempt {attempt} failed ({type(e).__name__}: {e}); '
+              'retrying in a fresh process', file=sys.stderr, flush=True)
+        env = dict(os.environ, LAMA_BENCH_RETRY=str(attempt + 1))
         sys.exit(subprocess.run([sys.executable, os.path.abspath(__file__)],
                                 env=env).returncode)
