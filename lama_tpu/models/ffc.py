@@ -245,8 +245,12 @@ class FourierUnit(nn.Module):
         if self.use_se:
             y = SELayer(name='se', dtype=jnp.float32)(y)
 
+        # quantize=False: the spectral path stays out of int8 serving — the
+        # frequency tensor's DC-dominated dynamic range is hostile to a
+        # per-tensor activation scale (and fp32/bf16 spectral is a repo
+        # invariant, CLAUDE.md)
         y = Conv2d(2 * self.features, kernel_size=1, groups=self.groups,
-                   use_bias=False, name='conv_layer',
+                   use_bias=False, name='conv_layer', quantize=False,
                    dtype=self._spectral_dtype())(y)
         y = BatchNorm(name='bn', axis_name=self.bn_axis_name)(y, use_running_average=not train)
         y = jax.nn.relu(y)

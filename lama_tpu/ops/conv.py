@@ -351,6 +351,10 @@ class Conv2d(nn.Module):
     groups: int = 1
     use_bias: bool = True
     padding_mode: str = 'zeros'
+    # opt-out from the int8 serving path (ops/quant.py): set False on convs
+    # whose inputs are quantization-hostile (e.g. the FourierUnit's
+    # frequency-domain 1x1 conv — DC-dominated dynamic range)
+    quantize: bool = True
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
 
@@ -371,8 +375,8 @@ class Conv2d(nn.Module):
         bias = self.param('bias', kaiming, (self.features,), self.param_dtype) if self.use_bias else None
         dtype = self.dtype or x.dtype
         from . import quant
-        if quant.INT8_SERVING and quant.conv_eligible(in_features, self.groups,
-                                                      kh, kw):
+        if (quant.INT8_SERVING and self.quantize
+                and quant.conv_eligible(in_features, self.groups, kh, kw)):
             # opt-in int8 serving path (precision=int8): int8 MXU contraction
             # with dynamic activation / per-channel weight scales
             return quant.quantized_conv2d(

@@ -70,6 +70,26 @@ def test_conv_eligibility_bounds():
     assert not conv_eligible(64, 2, 3, 3)   # 32 per group < MXU tile
 
 
+def test_spectral_conv_never_quantizes(rng):
+    """The FourierUnit's frequency-domain 1x1 conv must stay out of the int8
+    path even when eligible by channel count (DC-dominated spectra are
+    hostile to per-tensor scales; fp32/bf16 spectral is a repo invariant):
+    outputs with INT8_SERVING on/off must be IDENTICAL."""
+    from lama_tpu.models.ffc import FourierUnit
+    # use_se forces the fallback path whose conv is a Conv2d module (the
+    # concat-layout fast path uses a raw lax conv and never quantizes)
+    fu = FourierUnit(features=64, use_se=True)
+    x = jnp.asarray(rng.randn(1, 16, 16, 64).astype(np.float32))
+    variables = fu.init(jax.random.PRNGKey(0), x, train=False)
+    ref = fu.apply(variables, x, train=False)
+    quant.INT8_SERVING = True
+    try:
+        out = fu.apply(variables, x, train=False)
+    finally:
+        quant.INT8_SERVING = False
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 def test_int8_composes_with_spatial_shards(tmp_path, rng):
     """precision=int8 under spatial_shards: the dynamic per-tensor activation
     amax becomes a GSPMD collective over the H-sharded tensor — the global
