@@ -6,7 +6,11 @@ parity-checks the roundtrip like to_jit.py:68-72.
 
 Usage:
   python bin/to_stablehlo.py model.path=<run> outdir=<dir> \
-      [height=512] [width=512] [device=cpu]
+      [height=512] [width=512] [device=cpu] [precision=fp32]
+
+`precision` mirrors bin/predict.py: fp32 (default — reference numerics),
+bf16, or int8 (quantized conv contractions baked into the exported program;
+see ops/quant.py).
 """
 import logging
 import os
@@ -25,40 +29,33 @@ def main(argv):
     import jax.numpy as jnp
     from jax import export as jax_export
 
-    from lama_tpu.config import load_yaml, parse_overrides
-    from lama_tpu.config.node import ConfigNode, resolve_interpolations
-    from lama_tpu.models import make_generator
-    from lama_tpu.training.checkpoint import load_generator_variables
+    from lama_tpu.config import parse_overrides
+    from lama_tpu.config.node import ConfigNode
+    from lama_tpu.serving import load_serving_model, make_inpaint_forward
 
     logging.basicConfig(level=logging.INFO, force=True)  # jax pre-configures the root logger
     cfg = ConfigNode({'model': {'path': None, 'checkpoint': 'best'},
                       'outdir': None, 'height': 512, 'width': 512,
-                      'device': 'tpu'})
+                      'device': 'tpu', 'precision': 'fp32'})
     for k, v in parse_overrides(argv).items():
         cfg.set_path(k, v)
     if str(cfg.device) == 'cpu':
         jax.config.update('jax_platforms', 'cpu')
 
-    train_config = load_yaml(os.path.join(cfg.model.path, 'config.yaml'))
-    resolve_interpolations(train_config)
-    gen_kwargs = dict(train_config.generator)
-    generator = make_generator(gen_kwargs.pop('kind'), **gen_kwargs)
-    probe = jnp.zeros((1, 64, 64, gen_kwargs.get('input_nc', 4)))
-    template = generator.init(jax.random.PRNGKey(0), probe, train=False)
-    ckpt = os.path.join(cfg.model.path, 'models', str(cfg.model.checkpoint))
-    if not os.path.exists(ckpt) and os.path.isdir(os.path.splitext(ckpt)[0]):
-        ckpt = os.path.splitext(ckpt)[0]
-    variables = load_generator_variables(ckpt, template)
+    # SAME loader + forward as bin/predict.py, so the exported program is the
+    # served program (incl. the precision=int8 quantized-conv routing, which
+    # is a trace-time decision and therefore baked into the artifact)
+    generator, variables, _ = load_serving_model(
+        cfg.model.path, checkpoint=str(cfg.model.checkpoint),
+        precision=str(cfg.precision))
     variables = jax.tree.map(jnp.asarray, variables)
 
     h, w = int(cfg.height), int(cfg.width)
+    forward = make_inpaint_forward(generator)
 
     def predict(image, mask):
         """(1,H,W,3), (1,H,W,1) in [0,1] -> inpainted (1,H,W,3)."""
-        masked = image * (1 - mask)
-        x = jnp.concatenate([masked, mask], axis=-1)
-        pred = generator.apply(variables, x, train=False)
-        return (mask * pred + (1 - mask) * image).astype(jnp.float32)
+        return forward(variables, image, mask)
 
     exported = jax_export.export(jax.jit(predict))(
         jax.ShapeDtypeStruct((1, h, w, 3), jnp.float32),
@@ -66,7 +63,8 @@ def main(argv):
     blob = exported.serialize()
 
     os.makedirs(cfg.outdir, exist_ok=True)
-    out_path = os.path.join(cfg.outdir, f'inpainter_{h}x{w}.stablehlo')
+    suffix = '' if str(cfg.precision) == 'fp32' else f'_{cfg.precision}'
+    out_path = os.path.join(cfg.outdir, f'inpainter_{h}x{w}{suffix}.stablehlo')
     with open(out_path, 'wb') as f:
         f.write(blob)
     LOGGER.info(f'Saved {len(blob)} bytes to {out_path}')
@@ -80,7 +78,10 @@ def main(argv):
     out_exported = restored.call(img, mask)
     diff = float(jnp.abs(out_direct - out_exported).max())
     LOGGER.info(f'Export parity max |diff| = {diff:.2e}')
-    assert diff < 1e-4, diff
+    # bf16/int8: eager-vs-compiled fusion can re-round low-precision
+    # intermediates, so the bound is one bf16 ulp of [0,1] rather than fp32's
+    tol = 1e-4 if str(cfg.precision) == 'fp32' else 2e-2
+    assert diff < tol, diff
 
 
 if __name__ == '__main__':

@@ -135,6 +135,23 @@ def test_to_stablehlo(model_dir, tmp_path):
     assert files and files[0].stat().st_size > 0
 
 
+def test_to_stablehlo_int8(model_dir, tmp_path):
+    """precision=int8 bakes the quantized-conv routing into the exported
+    artifact (trace-time decision); the CLI's own roundtrip parity assert
+    runs inside main()."""
+    import to_stablehlo
+    from lama_tpu.ops import quant
+    outdir = tmp_path / 'export8'
+    try:
+        to_stablehlo.main([f'model.path={model_dir}', f'outdir={outdir}',
+                           'height=64', 'width=64', 'device=cpu',
+                           'precision=int8'])
+    finally:
+        quant.INT8_SERVING = False
+    files = list(outdir.glob('*_int8.stablehlo'))
+    assert files and files[0].stat().st_size > 0
+
+
 def test_predict_inner_features(model_dir, tmp_path, rng):
     import predict_inner_features
     indir = tmp_path / 'in'
