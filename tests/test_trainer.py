@@ -74,6 +74,28 @@ def test_trainer_fit_and_artifacts(synth_data):
     assert np.isfinite(records[0]['value'])
 
 
+def test_trainer_fit_pix2pixhd_generator(synth_data):
+    """The fused GAN step is generator-family-agnostic: a full fit with the
+    ablation preset's pix2pixhd GlobalGenerator (conv/BN/ReLU stack, no FFC
+    streams — reference configs/training/ablv2_work.yaml) trains, validates
+    and checkpoints like the FFC path."""
+    from lama_tpu.training.trainer import InpaintingTrainer
+    os.environ['LAMA_DATA_ROOT'] = str(synth_data)
+    os.environ.setdefault('TORCH_HOME', '/tmp/th')
+    config = compose(os.path.join(REPO, 'configs', 'training'), 'ablv2_work',
+                     OVERRIDES)
+    assert config.generator.kind == 'pix2pixhd_global'
+    run_dir = str(synth_data / 'run_p2p')
+    trainer = InpaintingTrainer(config, run_dir)
+    state = trainer.fit()
+    assert int(np.asarray(state.step)) == 2
+    assert os.path.isdir(os.path.join(run_dir, 'models', 'last'))
+    import json
+    with open(os.path.join(run_dir, 'models', 'index.json')) as f:
+        records = json.load(f)
+    assert np.isfinite(records[0]['value'])
+
+
 def test_trainer_visual_test_extra_val_and_discr_vis(synth_data):
     """The full validation fan-out (reference base.py:124-161): val +
     visual_test + extra_val datasets each produce prefixed metrics, and
