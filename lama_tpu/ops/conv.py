@@ -376,7 +376,8 @@ class Conv2d(nn.Module):
         dtype = self.dtype or x.dtype
         from . import quant
         if (quant.INT8_SERVING and self.quantize
-                and quant.conv_eligible(in_features, self.groups, kh, kw)):
+                and quant.conv_eligible(in_features, self.features,
+                                        self.groups, kh, kw)):
             # opt-in int8 serving path (precision=int8): int8 MXU contraction
             # with dynamic activation / per-channel weight scales
             return quant.quantized_conv2d(
@@ -419,7 +420,8 @@ class ConvTranspose2d(nn.Module):
         bias = self.param('bias', kaiming, (self.features,), self.param_dtype) if self.use_bias else None
         dtype = self.dtype or x.dtype
         from . import quant
-        if quant.INT8_SERVING and quant.conv_eligible(in_features, 1, kh, kw):
+        if quant.INT8_SERVING and quant.conv_eligible(in_features,
+                                                      self.features, 1, kh, kw):
             # opt-in int8 serving path — rear upsampling contractions are as
             # deep as the bottleneck convs (512->256) at larger spatial sizes
             return quant.quantized_conv_transpose2d(

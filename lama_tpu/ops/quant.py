@@ -38,10 +38,18 @@ INT8_SERVING = False
 # 128-lane tile: below this the conv is layout/bandwidth-bound and int8
 # just adds quant/dequant passes.
 MIN_CONTRACTION_CHANNELS = 64
+# ... and whose output width is wide enough to tile the MXU's N dimension:
+# the 7x7 64->3 out head has almost no MXU work but sits at FULL resolution,
+# so its activation-quant pass would cost bandwidth for nothing (and it
+# carries the most visible pixels).
+MIN_OUT_CHANNELS = 32
 
 
-def conv_eligible(in_features: int, groups: int, kh: int, kw: int) -> bool:
-    return in_features // max(groups, 1) >= MIN_CONTRACTION_CHANNELS
+def conv_eligible(in_features: int, out_features: int, groups: int,
+                  kh: int, kw: int) -> bool:
+    g = max(groups, 1)
+    return (in_features // g >= MIN_CONTRACTION_CHANNELS
+            and out_features // g >= MIN_OUT_CHANNELS)
 
 
 def _pair(v) -> Tuple[int, int]:

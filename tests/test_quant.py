@@ -64,10 +64,11 @@ def test_quantized_conv_transpose2d_close_to_fp32(rng, stride, padding,
 
 
 def test_conv_eligibility_bounds():
-    assert conv_eligible(64, 1, 3, 3)
-    assert conv_eligible(128, 2, 1, 1)
-    assert not conv_eligible(4, 1, 7, 7)    # stem: stays in compute dtype
-    assert not conv_eligible(64, 2, 3, 3)   # 32 per group < MXU tile
+    assert conv_eligible(64, 64, 1, 3, 3)
+    assert conv_eligible(128, 64, 2, 1, 1)
+    assert not conv_eligible(4, 64, 1, 7, 7)   # stem: stays in compute dtype
+    assert not conv_eligible(64, 3, 1, 7, 7)   # out head: 3 channels, no MXU work
+    assert not conv_eligible(64, 64, 2, 3, 3)  # 32 per group < MXU tile
 
 
 def test_spectral_conv_never_quantizes(rng):
