@@ -17,6 +17,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, 'bin'))
 
 
+@pytest.fixture(autouse=True)
+def _reset_int8_flag():
+    """INT8_SERVING is module-global; a mid-test failure must not leak
+    quantized serving into later tests."""
+    yield
+    quant.INT8_SERVING = False
+
+
 @pytest.mark.parametrize('padding_mode,stride,dilation,groups', [
     ('zeros', 1, 1, 1),
     ('reflect', 1, 1, 1),
