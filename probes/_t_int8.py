@@ -37,18 +37,23 @@ def main():
     variables = jax.jit(lambda k, x: gen.init(k, x, train=False))(
         jax.random.PRNGKey(0), x0)
 
-    def chain(variables, img, mask):
-        def body(carry, _):
-            x = jnp.concatenate([carry * (1 - mask), mask], axis=-1)
-            pred = gen.apply(variables, x, train=False)
-            out = mask * pred + (1 - mask) * carry
-            return out.astype(jnp.float32), out.mean()
-        _, means = jax.lax.scan(body, img, jnp.arange(CHAIN))
-        return means.mean().reshape(1, 1)
+    def make_chain():
+        # a FRESH function object per variant: jax.jit caches by function
+        # identity, and INT8_SERVING is a trace-time flag — reusing the same
+        # `chain` across variants would silently reuse the first trace
+        def chain(variables, img, mask):
+            def body(carry, _):
+                x = jnp.concatenate([carry * (1 - mask), mask], axis=-1)
+                pred = gen.apply(variables, x, train=False)
+                out = mask * pred + (1 - mask) * carry
+                return out.astype(jnp.float32), out.mean()
+            _, means = jax.lax.scan(body, img, jnp.arange(CHAIN))
+            return means.mean().reshape(1, 1)
+        return chain
 
     for name, flag in (('bf16', False), ('int8', True)):
         quant.INT8_SERVING = flag
-        fn = jax.jit(chain)
+        fn = jax.jit(make_chain())
         t0 = time.perf_counter()
         ref = np.asarray(fn(variables, img, mask))
         print(f'{name}: compile+first {time.perf_counter()-t0:.1f}s '
