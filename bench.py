@@ -2,6 +2,14 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Serving mode: int8 (the fastest shipped precision, `bin/predict.py
+precision=int8`): eligible conv contractions run int8×int8→int32 on the MXU
+(ops/quant.py; spectral path and stem/out head stay bf16). Measured quality
+vs fp32 with trained weights: hole-region max|Δ| 1e-4 / 87.8 dB PSNR — the
+same level as the bf16 path (89.3 dB); known pixels are bit-preserved by the
+composite. The bf16 series (r1 128.6 → r2 145.5 → r3 145.1) and the
+bf16-vs-int8 side-by-side live in BASELINE.md.
+
 Methodology: N=10 generator forwards chained through `lax.scan` inside one jit
 program, ending in a scalar reduction that is transferred to host — so the
 measurement waits for real device completion. (Through the axon relay,
@@ -34,8 +42,10 @@ REPEATS = 4
 
 def main():
     from lama_tpu.models.ffc import FFCResNetGenerator
+    from lama_tpu.ops import quant
     from lama_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
+    quant.INT8_SERVING = True  # trace-time flag, read while `chain` traces
 
     gen = FFCResNetGenerator(
         input_nc=4, output_nc=3, ngf=64, n_downsampling=3, n_blocks=18,
@@ -72,7 +82,7 @@ def main():
     img_per_s = BATCH / dt
 
     print(json.dumps({
-        'metric': f'big-lama {SIZE}^2 inpainted images/sec/chip (bf16, batch {BATCH})',
+        'metric': f'big-lama {SIZE}^2 inpainted images/sec/chip (int8 serving, batch {BATCH})',
         'value': round(img_per_s, 2),
         'unit': 'img/s/chip',
         'vs_baseline': round(img_per_s / A100_BASELINE_IMG_S, 2),
