@@ -2,13 +2,18 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Serving mode: int8 (the fastest shipped precision, `bin/predict.py
-precision=int8`): eligible conv contractions run int8×int8→int32 on the MXU
-(ops/quant.py; spectral path and stem/out head stay bf16). Measured quality
-vs fp32 with trained weights: hole-region max|Δ| 1e-4 / 87.8 dB PSNR — the
-same level as the bf16 path (89.3 dB); known pixels are bit-preserved by the
-composite. The bf16 series (r1 128.6 → r2 145.5 → r3 145.1) and the
-bf16-vs-int8 side-by-side live in BASELINE.md.
+Serving mode: int8 with calibrated static activation scales (the fastest
+shipped configuration, `bin/predict.py precision=int8 quant_calibration=K`):
+eligible conv contractions run int8×int8→int32 on the MXU (ops/quant.py;
+spectral path and stem/out head stay bf16), and a one-batch calibration
+records per-conv activation amax so the serving program carries no dynamic
+amax reductions (serving.calibrate_int8; 187 sites in big-lama). Calibrated
+on the served batch the outputs are IDENTICAL to dynamic-scale int8, whose
+measured quality vs fp32 with trained weights is hole-region max|Δ| 1e-4 /
+87.8 dB PSNR — the same level as the bf16 path (89.3 dB); known pixels are
+bit-preserved by the composite. The bf16 series (r1 128.6 → r2 145.5 → r3
+145.1) and the bf16 / int8-dynamic / int8-static side-by-sides live in
+BASELINE.md.
 
 Methodology: N=10 generator forwards chained through `lax.scan` inside one jit
 program, ending in a scalar reduction that is transferred to host — so the
@@ -62,6 +67,12 @@ def main():
     variables = jax.jit(lambda k, x: gen.init(k, x, train=False))(
         jax.random.PRNGKey(0), x0)
 
+    # static activation scales from the bench batch itself: outputs identical
+    # to dynamic-scale int8 (same amax by construction), serving program loses
+    # all 187 per-conv amax reductions (BASELINE.md round-3 static-scale row)
+    from lama_tpu.serving import calibrate_int8
+    variables = calibrate_int8(gen, variables, [(img, mask)])
+
     @jax.jit
     def chain(variables, img, mask):
         def body(carry, _):
@@ -82,7 +93,8 @@ def main():
     img_per_s = BATCH / dt
 
     print(json.dumps({
-        'metric': f'big-lama {SIZE}^2 inpainted images/sec/chip (int8 serving, batch {BATCH})',
+        'metric': (f'big-lama {SIZE}^2 inpainted images/sec/chip '
+                   f'(int8 serving, calibrated static scales, batch {BATCH})'),
         'value': round(img_per_s, 2),
         'unit': 'img/s/chip',
         'vs_baseline': round(img_per_s / A100_BASELINE_IMG_S, 2),

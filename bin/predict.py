@@ -78,6 +78,36 @@ def main(argv):
         predict_config['indir'] = predict_config.indir + '/'
     dataset = make_default_val_dataset(predict_config.indir, **dict(predict_config.dataset))
 
+    # quant_calibration=K (int8 only): record static activation scales from
+    # the first K served images (serving.calibrate_int8) — drops the dynamic
+    # per-conv amax reduction from every subsequent batch. 0 (default) =
+    # dynamic scales.
+    calib_n = int(predict_config.get('quant_calibration', 0) or 0)
+    if calib_n > 0:
+        if str(predict_config.get('precision', 'bf16')) != 'int8':
+            raise ValueError('quant_calibration requires precision=int8')
+        from lama_tpu.serving import calibrate_int8
+        pairs = []
+        for i in range(min(calib_n, len(dataset))):
+            item = dataset[i]
+            image, mask = item['image'], item['mask']
+            bh, bw = bucket_shape(image.shape[0], image.shape[1], modulo,
+                                  bucket,
+                                  spatial_shards=int(predict_config.get(
+                                      'spatial_shards', 0) or 0))
+            ph, pw = bh - image.shape[0], bw - image.shape[1]
+            if ph or pw:
+                image = np.pad(image, ((0, ph), (0, pw), (0, 0)), mode='symmetric')
+                mask = np.pad(mask, ((0, ph), (0, pw), (0, 0)), mode='symmetric')
+            pairs.append((image[None].astype(np.float32),
+                          (mask[None] > 0).astype(np.float32)))
+        variables = calibrate_int8(generator, variables, pairs)
+        if 'quant_stats' in variables:
+            LOGGER.info(f'int8 static scales calibrated on {len(pairs)} image(s)')
+        else:
+            LOGGER.info('quant_calibration: no int8-eligible convs in this '
+                        'model; serving with dynamic scales')
+
     # wire=uint8: transfer uint8 images/masks up and uint8 results down
     # (8-bit files are the end product anyway — the device applies the same
     # clip/truncate map save_image would; see serving.make_inpaint_forward).

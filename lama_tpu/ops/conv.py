@@ -336,6 +336,27 @@ def adaptive_avg_pool2d(x, output_size=(1, 1)):
     return avg_pool2d(x, (h // oh, w // ow))
 
 
+def _quant_act_amax(module, x):
+    """Static-vs-dynamic activation scale plumbing for the int8 serving path.
+
+    Calibration (quant.CALIBRATING, apply with mutable=['quant_stats']):
+    sow this call's input amax into the 'quant_stats' collection, reduced
+    with max across calls sharing the module (e.g. scan iterations).
+    Serving with a calibrated collection merged into the variables: return
+    the stored scalar (no per-call reduction). Otherwise: None -> the
+    quantized conv computes its dynamic amax."""
+    from . import quant
+    if quant.CALIBRATING:
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        module.sow('quant_stats', 'act_amax', amax,
+                   reduce_fn=jnp.maximum,
+                   init_fn=lambda: jnp.zeros((), jnp.float32))
+        return None
+    if module.has_variable('quant_stats', 'act_amax'):
+        return module.get_variable('quant_stats', 'act_amax')
+    return None
+
+
 class Conv2d(nn.Module):
     """Linen conv with torch nn.Conv2d init + semantics (NHWC/HWIO).
 
@@ -379,11 +400,16 @@ class Conv2d(nn.Module):
                 and quant.conv_eligible(in_features, self.features,
                                         self.groups, kh, kw)):
             # opt-in int8 serving path (precision=int8): int8 MXU contraction
-            # with dynamic activation / per-channel weight scales
+            # with per-channel weight scales and a dynamic activation scale —
+            # or a calibrated STATIC one when a 'quant_stats' collection is
+            # present (serving.py::calibrate_int8 builds it; static scales
+            # drop the per-call amax reduction)
+            amax = _quant_act_amax(self, x)
             return quant.quantized_conv2d(
                 x, kernel, bias=bias, stride=self.stride, padding=self.padding,
                 dilation=self.dilation, groups=self.groups,
-                padding_mode=self.padding_mode, out_dtype=dtype)
+                padding_mode=self.padding_mode, out_dtype=dtype,
+                act_amax=amax)
         out = conv2d(x.astype(dtype), kernel.astype(dtype),
                      bias=None if bias is None else bias,
                      stride=self.stride, padding=self.padding, dilation=self.dilation,
@@ -424,10 +450,11 @@ class ConvTranspose2d(nn.Module):
                                                       self.features, 1, kh, kw):
             # opt-in int8 serving path — rear upsampling contractions are as
             # deep as the bottleneck convs (512->256) at larger spatial sizes
+            amax = _quant_act_amax(self, x)
             return quant.quantized_conv_transpose2d(
                 x, kernel, bias=bias, stride=self.stride,
                 padding=self.padding, output_padding=self.output_padding,
-                out_dtype=dtype)
+                out_dtype=dtype, act_amax=amax)
         return conv_transpose2d(x.astype(dtype), kernel.astype(dtype),
                                 bias=None if bias is None else bias,
                                 stride=self.stride, padding=self.padding,

@@ -34,6 +34,14 @@ from .pad import pad2d
 # ops/conv.py and keeps the training path entirely flag-free.
 INT8_SERVING = False
 
+# Calibration mode: while True, eligible convs additionally sow their input
+# activation amax into a 'quant_stats' flax collection (reduce=max across
+# calls). Serving with that collection merged into the variables uses the
+# recorded STATIC scales instead of the dynamic per-call amax — removing a
+# full-tensor reduction before every quantized conv and letting XLA fuse the
+# quantize into the producer's epilogue. See serving.py::calibrate_int8.
+CALIBRATING = False
+
 # Quantize only convs whose per-group contraction depth reaches the MXU's
 # 128-lane tile: below this the conv is layout/bandwidth-bound and int8
 # just adds quant/dequant passes.
@@ -60,11 +68,14 @@ def _pair(v) -> Tuple[int, int]:
 
 def quantized_conv2d(x, kernel, bias=None, stride=1, padding=0, dilation=1,
                      groups=1, padding_mode='zeros',
-                     out_dtype: Optional[jnp.dtype] = None):
+                     out_dtype: Optional[jnp.dtype] = None,
+                     act_amax=None):
     """int8 conv with torch-compatible semantics (NHWC / HWIO, see
-    ops/conv.py::conv2d). Activations: one dynamic per-tensor scale
-    (amax/127). Weights: per-output-channel scales. Accumulation: int32 on
-    the MXU; dequant + bias in fp32, cast to `out_dtype`."""
+    ops/conv.py::conv2d). Activations: one per-tensor scale — dynamic
+    (amax/127, a full-tensor reduction per call) unless a calibrated
+    `act_amax` scalar is given, in which case the quantize is a pure
+    elementwise op. Weights: per-output-channel scales. Accumulation:
+    int32 on the MXU; dequant + bias in fp32, cast to `out_dtype`."""
     stride = _pair(stride)
     dilation = _pair(dilation)
     padding = _pair(padding)
@@ -76,7 +87,8 @@ def quantized_conv2d(x, kernel, bias=None, stride=1, padding=0, dilation=1,
     wq = jnp.clip(jnp.round(w32 / s_w), -127, 127).astype(jnp.int8)
 
     x32 = x.astype(jnp.float32)
-    s_x = jnp.maximum(jnp.max(jnp.abs(x32)), 1e-12) / 127.0
+    amax = jnp.max(jnp.abs(x32)) if act_amax is None else act_amax
+    s_x = jnp.maximum(jnp.asarray(amax, jnp.float32), 1e-12) / 127.0
     xq = jnp.clip(jnp.round(x32 / s_x), -127, 127).astype(jnp.int8)
 
     has_pad = any(p != 0 for pair in padding for p in pair)
@@ -105,7 +117,8 @@ def quantized_conv2d(x, kernel, bias=None, stride=1, padding=0, dilation=1,
 
 def quantized_conv_transpose2d(x, kernel, bias=None, stride=2, padding=1,
                                output_padding=1,
-                               out_dtype: Optional[jnp.dtype] = None):
+                               out_dtype: Optional[jnp.dtype] = None,
+                               act_amax=None):
     """int8 transposed conv with torch ConvTranspose2d semantics (see
     ops/conv.py::conv_transpose2d: input-dilated conv with the spatially
     flipped kernel). The lhs-dilation zeros are exact in int8, so the only
@@ -124,7 +137,8 @@ def quantized_conv_transpose2d(x, kernel, bias=None, stride=2, padding=1,
     wq = jnp.clip(jnp.round(w32 / s_w), -127, 127).astype(jnp.int8)
 
     x32 = x.astype(jnp.float32)
-    s_x = jnp.maximum(jnp.max(jnp.abs(x32)), 1e-12) / 127.0
+    amax = jnp.max(jnp.abs(x32)) if act_amax is None else act_amax
+    s_x = jnp.maximum(jnp.asarray(amax, jnp.float32), 1e-12) / 127.0
     xq = jnp.clip(jnp.round(x32 / s_x), -127, 127).astype(jnp.int8)
 
     pad_h = kh - 1 - padding[0]

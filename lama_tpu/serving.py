@@ -50,6 +50,52 @@ def load_serving_model(model_path: str, checkpoint: str = 'best',
     return generator, variables, gen_kwargs
 
 
+def calibrate_int8(generator, variables, batches) -> dict:
+    """Record per-conv activation amax for STATIC int8 scales.
+
+    Runs the serving forward (masked-image concat, the exact input each conv
+    sees when serving) over `batches` — an iterable of (image NHW3, mask
+    NHW1) fp32 pairs — with `quant.CALIBRATING` on, so every eligible conv
+    sows its input amax into a 'quant_stats' collection (max-reduced across
+    calls). Returns `variables` with that collection merged: serving with
+    the merged dict uses the recorded scalar scales instead of a dynamic
+    full-tensor amax reduction per conv (ops/conv.py::_quant_act_amax).
+
+    Numerics: inputs whose activations exceed the calibrated amax saturate
+    at ±127 — calibrate on data shaped like the serving distribution (the
+    CLI uses the first served batches). With the SAME batch, static and
+    dynamic scales are identical by construction.
+    """
+    from .ops import quant
+    if not quant.INT8_SERVING:
+        raise ValueError('calibrate_int8 requires precision=int8 '
+                         '(quant.INT8_SERVING is off)')
+
+    @jax.jit
+    def one(variables, image, mask):
+        x = jnp.concatenate([image * (1 - mask), mask], axis=-1)
+        _, mut = generator.apply(variables, x, train=False,
+                                 mutable=['quant_stats'])
+        # no eligible conv sowed anything (model below the int8 size gates):
+        # empty collection -> caller keeps dynamic scales
+        return mut.get('quant_stats', {})
+
+    quant.CALIBRATING = True
+    try:
+        stats = None
+        for image, mask in batches:
+            s = one(variables, jnp.asarray(image), jnp.asarray(mask))
+            stats = s if stats is None else jax.tree_util.tree_map(
+                jnp.maximum, stats, s)
+    finally:
+        quant.CALIBRATING = False
+    if stats is None:
+        raise ValueError('calibrate_int8: no calibration batches given')
+    if not stats:
+        return variables
+    return {**variables, 'quant_stats': jax.device_get(stats)}
+
+
 def bucket_shape(h: int, w: int, modulo: int, bucket: int,
                  spatial_shards: int = 1) -> Tuple[int, int]:
     """The padded (H, W) an original (h, w) input is actually served at —

@@ -129,6 +129,84 @@ def test_int8_composes_with_spatial_shards(tmp_path, rng):
     np.testing.assert_array_equal(outs[0], outs[2])
 
 
+def test_int8_static_scales_match_dynamic_on_calibration_batch(rng):
+    """calibrate_int8 records each eligible conv's input amax; serving the
+    SAME batch with the merged 'quant_stats' collection must reproduce the
+    dynamic-scale outputs exactly (identical scale values by construction)."""
+    from lama_tpu.models.ffc import FFCResNetGenerator
+    from lama_tpu.serving import calibrate_int8
+
+    gen = FFCResNetGenerator(
+        input_nc=4, output_nc=3, ngf=64, n_downsampling=2, n_blocks=1,
+        add_out_act='sigmoid',
+        init_conv_kwargs=dict(ratio_gin=0, ratio_gout=0, enable_lfu=False),
+        downsample_conv_kwargs=dict(ratio_gin=0, ratio_gout=0, enable_lfu=False),
+        resnet_conv_kwargs=dict(ratio_gin=0.75, ratio_gout=0.75, enable_lfu=False))
+    img = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32))
+    mask = jnp.zeros((1, 32, 32, 1), jnp.float32).at[:, 8:24, 8:24].set(1.0)
+    x = jnp.concatenate([img * (1 - mask), mask], axis=-1)
+    variables = gen.init(jax.random.PRNGKey(0), x, train=False)
+
+    quant.INT8_SERVING = True
+    try:
+        dyn = jax.jit(lambda v, x: gen.apply(v, x, train=False))(variables, x)
+        calibrated = calibrate_int8(gen, variables, [(img, mask)])
+        assert len(jax.tree_util.tree_leaves(calibrated['quant_stats'])) > 0
+        stat = jax.jit(lambda v, x: gen.apply(v, x, train=False))(calibrated, x)
+    finally:
+        quant.INT8_SERVING = False
+    np.testing.assert_array_equal(np.asarray(dyn, np.float32),
+                                  np.asarray(stat, np.float32))
+
+
+def test_calibrate_int8_requires_int8_mode(rng):
+    from lama_tpu.serving import calibrate_int8
+    with pytest.raises(ValueError, match='int8'):
+        calibrate_int8(None, {}, [])
+
+
+def test_predict_cli_quant_calibration(tmp_path, rng):
+    """precision=int8 quant_calibration=1: static scales calibrated on the
+    served image itself -> output identical to the dynamic-scale serve."""
+    from test_predict_cli import make_model_dir
+    from lama_tpu.data.io import load_image, save_image
+    import predict as predict_cli
+
+    model_dir = make_model_dir(tmp_path)
+    indir = tmp_path / 'in'
+    indir.mkdir()
+    img = rng.rand(64, 64, 3).astype(np.float32)
+    mask = np.zeros((64, 64, 1), np.float32)
+    mask[16:40, 16:40] = 1.0
+    save_image(str(indir / 'a.png'), img)
+    save_image(str(indir / 'a_mask.png'), mask)
+
+    outs = {}
+    for calib in (0, 1):
+        outdir = tmp_path / f'out_c{calib}'
+        predict_cli.main([f'model.path={model_dir}', f'indir={indir}',
+                          f'outdir={outdir}', 'device=cpu', 'precision=int8',
+                          f'quant_calibration={calib}'])
+        outs[calib] = load_image(str(outdir / 'a_mask.png'))
+    quant.INT8_SERVING = False
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_predict_cli_quant_calibration_requires_int8(tmp_path, rng):
+    from test_predict_cli import make_model_dir
+    from lama_tpu.data.io import save_image
+    import predict as predict_cli
+    model_dir = make_model_dir(tmp_path)
+    indir = tmp_path / 'in'
+    indir.mkdir()
+    save_image(str(indir / 'a.png'), rng.rand(64, 64, 3).astype(np.float32))
+    save_image(str(indir / 'a_mask.png'), np.ones((64, 64, 1), np.float32))
+    with pytest.raises(ValueError, match='quant_calibration'):
+        predict_cli.main([f'model.path={model_dir}', f'indir={indir}',
+                          f'outdir={tmp_path / "out"}', 'device=cpu',
+                          'quant_calibration=1'])
+
+
 def test_refine_rejects_int8(tmp_path, rng):
     """refine optimizes features by gradient through the rear; int8's round()
     has zero gradient, so the CLI must reject the combination loudly."""
