@@ -6,11 +6,16 @@ parity-checks the roundtrip like to_jit.py:68-72.
 
 Usage:
   python bin/to_stablehlo.py model.path=<run> outdir=<dir> \
-      [height=512] [width=512] [device=cpu] [precision=fp32]
+      [height=512] [width=512] [device=cpu] [precision=fp32] \
+      [calibration_indir=<image/mask dir>]
 
 `precision` mirrors bin/predict.py: fp32 (default — reference numerics),
 bf16, or int8 (quantized conv contractions baked into the exported program;
-see ops/quant.py).
+see ops/quant.py). With precision=int8, `calibration_indir` (a predict-style
+image/mask directory) records STATIC activation scales from those images and
+bakes them into the artifact — the exported program then carries no dynamic
+amax reductions, and the blob consumer needs no calibration step
+(serving.calibrate_int8; quality caveats in docs/SERVING.md).
 """
 import logging
 import os
@@ -36,7 +41,9 @@ def main(argv):
     logging.basicConfig(level=logging.INFO, force=True)  # jax pre-configures the root logger
     cfg = ConfigNode({'model': {'path': None, 'checkpoint': 'best'},
                       'outdir': None, 'height': 512, 'width': 512,
-                      'device': 'tpu', 'precision': 'fp32'})
+                      'device': 'tpu', 'precision': 'fp32',
+                      'calibration_indir': None,
+                      'calibration_img_suffix': '.png'})
     for k, v in parse_overrides(argv).items():
         cfg.set_path(k, v)
     if str(cfg.device) == 'cpu':
@@ -49,6 +56,32 @@ def main(argv):
         cfg.model.path, checkpoint=str(cfg.model.checkpoint),
         precision=str(cfg.precision))
     variables = jax.tree.map(jnp.asarray, variables)
+
+    calib_dir = cfg.get('calibration_indir')
+    if calib_dir:
+        if str(cfg.precision) != 'int8':
+            raise ValueError('calibration_indir requires precision=int8')
+        from lama_tpu.data.datasets import make_default_val_dataset
+        from lama_tpu.serving import calibrate_int8
+        ds = make_default_val_dataset(
+            calib_dir if calib_dir.endswith('/') else calib_dir + '/',
+            img_suffix=str(cfg.get('calibration_img_suffix') or '.png'),
+            pad_out_to_modulo=8)
+        ch, cw = int(cfg.height), int(cfg.width)
+        pairs = []
+        for i in range(len(ds)):
+            item = ds[i]
+            image = item['image'][:ch, :cw]
+            mask = item['mask'][:ch, :cw]
+            ph, pw = ch - image.shape[0], cw - image.shape[1]
+            if ph or pw:
+                image = np.pad(image, ((0, ph), (0, pw), (0, 0)), mode='symmetric')
+                mask = np.pad(mask, ((0, ph), (0, pw), (0, 0)), mode='symmetric')
+            pairs.append((image[None].astype(np.float32),
+                          (mask[None] > 0).astype(np.float32)))
+        variables = calibrate_int8(generator, variables, pairs)
+        LOGGER.info(f'int8 static scales calibrated on {len(pairs)} image(s) '
+                    f'from {calib_dir}')
 
     h, w = int(cfg.height), int(cfg.width)
     forward = make_inpaint_forward(generator)

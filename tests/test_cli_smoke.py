@@ -152,6 +152,30 @@ def test_to_stablehlo_int8(model_dir, tmp_path):
     assert files and files[0].stat().st_size > 0
 
 
+def test_to_stablehlo_int8_calibrated(model_dir, tmp_path, rng):
+    """calibration_indir bakes STATIC int8 activation scales into the
+    exported artifact (no dynamic amax reductions in the blob); the CLI's
+    roundtrip parity assert runs inside main()."""
+    import to_stablehlo
+    from lama_tpu.data.io import save_image
+    from lama_tpu.ops import quant
+    indir = tmp_path / 'calib'
+    indir.mkdir()
+    save_image(str(indir / 'a.png'), rng.rand(64, 64, 3).astype(np.float32))
+    mask = np.zeros((64, 64, 1), np.float32)
+    mask[16:48, 16:48] = 1.0
+    save_image(str(indir / 'a_mask.png'), mask)
+    outdir = tmp_path / 'export8c'
+    try:
+        to_stablehlo.main([f'model.path={model_dir}', f'outdir={outdir}',
+                           'height=64', 'width=64', 'device=cpu',
+                           'precision=int8', f'calibration_indir={indir}'])
+    finally:
+        quant.INT8_SERVING = False
+    files = list(outdir.glob('*_int8.stablehlo'))
+    assert files and files[0].stat().st_size > 0
+
+
 def test_predict_inner_features(model_dir, tmp_path, rng):
     import predict_inner_features
     indir = tmp_path / 'in'
