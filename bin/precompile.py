@@ -65,38 +65,52 @@ def main(argv):
     modulo = int(cfg.dataset.pad_out_to_modulo)
     bucket = int(cfg.get('pad_to_bucket', 64))
 
-    # quant_calibration>0 serving uses a DIFFERENT program (static scalar
-    # scales instead of per-conv amax reductions) and runs a batch-1
-    # calibration forward per image shape at startup — warm both: run the
-    # calibration on zeros (values don't key the compiled program; the
-    # quant_stats tree structure does) and lower the serving fn with the
-    # merged variables below.
-    calib_n = int(cfg.get('quant_calibration', 0) or 0)
-    if calib_n > 0:
-        if str(cfg.get('precision', 'bf16')) != 'int8':
-            raise ValueError('quant_calibration requires precision=int8')
-        from lama_tpu.serving import calibrate_int8
-        for h, w in shapes:
-            t0 = time.time()
-            bh, bw = bucket_shape(h, w, modulo, bucket, spatial_shards=spatial)
-            variables = calibrate_int8(
-                generator, variables,
-                [(np.zeros((1, bh, bw, 3), np.float32),
-                  np.zeros((1, bh, bw, 1), np.float32))])
-            LOGGER.info(f'int8 calibration program {bh}x{bw}: '
-                        f'{time.time() - t0:.1f}s')
-
     # spatial_shards>1 serving uses a DIFFERENT program (GSPMD-sharded over
     # the (data, space) mesh) — warm that one with the same mesh as
     # bin/predict.py builds; requires the same device count as serving will
     spatial = int(cfg.get('spatial_shards', 0) or 0)
+    mesh = None
     if spatial > 1 and not use_refine:
-        from lama_tpu.parallel.mesh import make_mesh, shard_predict
+        from lama_tpu.parallel.mesh import make_mesh
         if len(jax.devices()) < spatial:
             raise ValueError(f'spatial_shards={spatial} needs that many '
                              f'devices; have {len(jax.devices())}')
         mesh = make_mesh(('data', 'space'), shape=(1, spatial),
                          devices=jax.devices()[:spatial])
+
+    # quant_calibration>0 serving uses a DIFFERENT program (static scalar
+    # scales instead of per-conv amax reductions) and runs a batch-1
+    # calibration forward per image shape at startup — warm both: run the
+    # calibration on zeros (values don't key the compiled program; the
+    # quant_stats tree structure does) and lower the serving fn with the
+    # merged variables below. Each shape calibrates from the PRISTINE
+    # pre-calibration variables — bin/predict.py's cold calibration traces
+    # without quant_stats in its input tree, so feeding already-merged
+    # variables back in would warm a program serving never compiles.
+    calib_n = int(cfg.get('quant_calibration', 0) or 0)
+    if calib_n > 0:
+        if str(cfg.get('precision', 'bf16')) != 'int8':
+            raise ValueError('quant_calibration requires precision=int8')
+        from lama_tpu.serving import calibrate_int8
+        pristine, merged = variables, None
+        for h, w in shapes:
+            t0 = time.time()
+            bh, bw = bucket_shape(h, w, modulo, bucket, spatial_shards=spatial)
+            cal = calibrate_int8(
+                generator, pristine,
+                [(np.zeros((1, bh, bw, 3), np.float32),
+                  np.zeros((1, bh, bw, 1), np.float32))], mesh=mesh)
+            if 'quant_stats' in cal:
+                merged = cal['quant_stats'] if merged is None else \
+                    jax.tree_util.tree_map(np.maximum, merged,
+                                           cal['quant_stats'])
+            LOGGER.info(f'int8 calibration program {bh}x{bw}: '
+                        f'{time.time() - t0:.1f}s')
+        if merged is not None:
+            variables = {**pristine, 'quant_stats': merged}
+
+    if spatial > 1 and not use_refine:
+        from lama_tpu.parallel.mesh import shard_predict
         sharded_fn, img_sharding, repl = shard_predict(_predict, mesh)
         variables = jax.device_put(variables, repl)
 

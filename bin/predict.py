@@ -78,10 +78,26 @@ def main(argv):
         predict_config['indir'] = predict_config.indir + '/'
     dataset = make_default_val_dataset(predict_config.indir, **dict(predict_config.dataset))
 
+    # spatial_shards=N splits the image H axis over N devices — the >HBM
+    # resolution serving path (2-D mesh; GSPMD inserts the conv halo
+    # exchanges and DFT collectives). Requires N local devices and H % N == 0
+    # after bucket padding; bucket is rounded up accordingly below.
+    spatial = int(predict_config.get('spatial_shards', 0) or 0)
+    mesh = None
+    if spatial > 1:
+        from lama_tpu.parallel.mesh import make_mesh
+        if len(jax.devices()) < spatial:
+            raise ValueError(f'spatial_shards={spatial} needs that many '
+                             f'devices; have {len(jax.devices())}')
+        mesh = make_mesh(('data', 'space'), shape=(1, spatial),
+                         devices=jax.devices()[:spatial])
+
     # quant_calibration=K (int8 only): record static activation scales from
     # the first K served images (serving.calibrate_int8) — drops the dynamic
     # per-conv amax reduction from every subsequent batch. 0 (default) =
-    # dynamic scales.
+    # dynamic scales. With spatial_shards>1 the calibration forward runs
+    # under the SAME mesh as serving (a >HBM calibration image never lands
+    # unsharded on one device).
     calib_n = int(predict_config.get('quant_calibration', 0) or 0)
     if calib_n > 0:
         if str(predict_config.get('precision', 'bf16')) != 'int8':
@@ -92,16 +108,14 @@ def main(argv):
             item = dataset[i]
             image, mask = item['image'], item['mask']
             bh, bw = bucket_shape(image.shape[0], image.shape[1], modulo,
-                                  bucket,
-                                  spatial_shards=int(predict_config.get(
-                                      'spatial_shards', 0) or 0))
+                                  bucket, spatial_shards=spatial)
             ph, pw = bh - image.shape[0], bw - image.shape[1]
             if ph or pw:
                 image = np.pad(image, ((0, ph), (0, pw), (0, 0)), mode='symmetric')
                 mask = np.pad(mask, ((0, ph), (0, pw), (0, 0)), mode='symmetric')
             pairs.append((image[None].astype(np.float32),
                           (mask[None] > 0).astype(np.float32)))
-        variables = calibrate_int8(generator, variables, pairs)
+        variables = calibrate_int8(generator, variables, pairs, mesh=mesh)
         if 'quant_stats' in variables:
             LOGGER.info(f'int8 static scales calibrated on {len(pairs)} image(s)')
         else:
@@ -118,18 +132,8 @@ def main(argv):
     _predict = make_inpaint_forward(
         generator, wire=wire, out_key=str(predict_config.get('out_key', 'inpainted')))
 
-    # spatial_shards=N splits the image H axis over N devices — the >HBM
-    # resolution serving path (2-D mesh; GSPMD inserts the conv halo
-    # exchanges and DFT collectives). Requires N local devices and H % N == 0
-    # after bucket padding; bucket is rounded up accordingly below.
-    spatial = int(predict_config.get('spatial_shards', 0) or 0)
     if spatial > 1:
-        from lama_tpu.parallel.mesh import make_mesh, shard_predict
-        if len(jax.devices()) < spatial:
-            raise ValueError(f'spatial_shards={spatial} needs that many '
-                             f'devices; have {len(jax.devices())}')
-        mesh = make_mesh(('data', 'space'), shape=(1, spatial),
-                         devices=jax.devices()[:spatial])
+        from lama_tpu.parallel.mesh import shard_predict
         sharded_fn, img_sharding, repl = shard_predict(_predict, mesh)
         variables = jax.device_put(variables, repl)
 

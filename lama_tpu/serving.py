@@ -50,7 +50,7 @@ def load_serving_model(model_path: str, checkpoint: str = 'best',
     return generator, variables, gen_kwargs
 
 
-def calibrate_int8(generator, variables, batches) -> dict:
+def calibrate_int8(generator, variables, batches, mesh=None) -> dict:
     """Record per-conv activation amax for STATIC int8 scales.
 
     Runs the serving forward (masked-image concat, the exact input each conv
@@ -60,6 +60,13 @@ def calibrate_int8(generator, variables, batches) -> dict:
     calls). Returns `variables` with that collection merged: serving with
     the merged dict uses the recorded scalar scales instead of a dynamic
     full-tensor amax reduction per conv (ops/conv.py::_quant_act_amax).
+
+    `mesh`: when serving is spatially sharded (spatial_shards>1), pass the
+    SAME (data, space) mesh — the calibration forward then runs GSPMD-sharded
+    exactly like serving (batch over 'data', image H over 'space'), so a
+    calibration image that only fits HBM sharded never lands on one device.
+    The sowed amax scalars are all-reduced by GSPMD (max is sharding-
+    invariant) — same values as the unsharded forward.
 
     Numerics: inputs whose activations exceed the calibrated amax saturate
     at ±127 — calibrate on data shaped like the serving distribution (the
@@ -71,7 +78,6 @@ def calibrate_int8(generator, variables, batches) -> dict:
         raise ValueError('calibrate_int8 requires precision=int8 '
                          '(quant.INT8_SERVING is off)')
 
-    @jax.jit
     def one(variables, image, mask):
         x = jnp.concatenate([image * (1 - mask), mask], axis=-1)
         _, mut = generator.apply(variables, x, train=False,
@@ -79,6 +85,17 @@ def calibrate_int8(generator, variables, batches) -> dict:
         # no eligible conv sowed anything (model below the int8 size gates):
         # empty collection -> caller keeps dynamic scales
         return mut.get('quant_stats', {})
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = (P('data', 'space') if 'space' in mesh.axis_names
+                else P('data'))
+        img_sh = NamedSharding(mesh, spec)
+        repl = NamedSharding(mesh, P())
+        one = jax.jit(one, in_shardings=(None, img_sh, img_sh),
+                      out_shardings=repl)
+    else:
+        one = jax.jit(one)
 
     quant.CALIBRATING = True
     try:

@@ -353,3 +353,29 @@ def test_precompile_cli(tmp_path, model_dir, monkeypatch):
         from jax._src import compilation_cache as _cc
         _cc.reset_cache()
     assert cache.is_dir() and len(list(cache.iterdir())) >= 2
+
+
+def test_precompile_cli_int8_calibration(tmp_path, model_dir, monkeypatch):
+    """precision=int8 quant_calibration=1 must warm without crashing (round-3
+    regression: `spatial` was referenced before assignment) — the advertised
+    way to warm the int8+static-scales headline serving mode."""
+    cache = tmp_path / 'cc'
+    monkeypatch.setenv('LAMA_COMPILATION_CACHE', str(cache))
+    import jax
+    import precompile as precompile_cli
+    from lama_tpu.ops import quant
+    keys = ('jax_compilation_cache_dir',
+            'jax_persistent_cache_min_entry_size_bytes',
+            'jax_persistent_cache_min_compile_time_secs')
+    prior = {k: getattr(jax.config, k) for k in keys}
+    try:
+        precompile_cli.main([f'model.path={model_dir}', 'shapes=64x64',
+                             'batch_size=1', 'device=cpu', 'precision=int8',
+                             'quant_calibration=1'])
+    finally:
+        quant.INT8_SERVING = False
+        for k, v in prior.items():
+            jax.config.update(k, v)
+        from jax._src import compilation_cache as _cc
+        _cc.reset_cache()
+    assert cache.is_dir() and len(list(cache.iterdir())) >= 1

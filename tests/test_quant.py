@@ -159,6 +159,68 @@ def test_int8_static_scales_match_dynamic_on_calibration_batch(rng):
                                   np.asarray(stat, np.float32))
 
 
+def test_calibrate_int8_under_mesh_matches_unsharded(rng):
+    """calibrate_int8(mesh=...) runs the calibration forward GSPMD-sharded
+    (the spatial_shards serving path) — amax is sharding-invariant, so the
+    recorded quant_stats must equal the unsharded calibration's, and serving
+    with them must reproduce the unsharded static-scale outputs."""
+    from lama_tpu.models.ffc import FFCResNetGenerator
+    from lama_tpu.parallel.mesh import make_mesh
+    from lama_tpu.serving import calibrate_int8
+
+    gen = FFCResNetGenerator(
+        input_nc=4, output_nc=3, ngf=64, n_downsampling=2, n_blocks=1,
+        add_out_act='sigmoid',
+        init_conv_kwargs=dict(ratio_gin=0, ratio_gout=0, enable_lfu=False),
+        downsample_conv_kwargs=dict(ratio_gin=0, ratio_gout=0, enable_lfu=False),
+        resnet_conv_kwargs=dict(ratio_gin=0.75, ratio_gout=0.75, enable_lfu=False))
+    img = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32))
+    mask = jnp.zeros((1, 32, 32, 1), jnp.float32).at[:, 8:24, 8:24].set(1.0)
+    x = jnp.concatenate([img * (1 - mask), mask], axis=-1)
+    variables = gen.init(jax.random.PRNGKey(0), x, train=False)
+
+    mesh = make_mesh(('data', 'space'), shape=(1, 2), devices=jax.devices()[:2])
+    quant.INT8_SERVING = True
+    try:
+        plain = calibrate_int8(gen, variables, [(img, mask)])
+        sharded = calibrate_int8(gen, variables, [(img, mask)], mesh=mesh)
+        flat_p = jax.tree_util.tree_leaves(plain['quant_stats'])
+        flat_s = jax.tree_util.tree_leaves(sharded['quant_stats'])
+        assert len(flat_p) == len(flat_s) > 0
+        for a, b in zip(flat_p, flat_s):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    finally:
+        quant.INT8_SERVING = False
+
+
+def test_predict_cli_quant_calibration_with_spatial_shards(tmp_path, rng):
+    """quant_calibration + spatial_shards>1 (round-3 ADVICE: calibration used
+    to run unsharded): the calibration forward now runs under the serving
+    mesh and the served output must bit-match the unsharded calibrated one."""
+    from test_predict_cli import make_model_dir
+    from lama_tpu.data.io import load_image, save_image
+    import predict as predict_cli
+
+    model_dir = make_model_dir(tmp_path)
+    indir = tmp_path / 'in'
+    indir.mkdir()
+    img = rng.rand(64, 64, 3).astype(np.float32)
+    mask = np.zeros((64, 64, 1), np.float32)
+    mask[16:40, 16:40] = 1.0
+    save_image(str(indir / 'a.png'), img)
+    save_image(str(indir / 'a_mask.png'), mask)
+
+    outs = {}
+    for shards in (0, 2):
+        outdir = tmp_path / f'out_cal_s{shards}'
+        predict_cli.main([f'model.path={model_dir}', f'indir={indir}',
+                          f'outdir={outdir}', 'device=cpu', 'precision=int8',
+                          'quant_calibration=1', f'spatial_shards={shards}'])
+        outs[shards] = load_image(str(outdir / 'a_mask.png'))
+    quant.INT8_SERVING = False
+    np.testing.assert_array_equal(outs[0], outs[2])
+
+
 def test_calibrate_int8_requires_int8_mode(rng):
     from lama_tpu.serving import calibrate_int8
     with pytest.raises(ValueError, match='int8'):
