@@ -25,9 +25,28 @@ def main(args):
         jax.config.update('jax_platforms', 'cpu')
     import orbax.checkpoint as ocp
 
-    from lama_tpu.training.checkpoint import save_pytree
+    from lama_tpu.training.checkpoint import CheckpointManager, save_pytree
 
     models_dir = os.path.join(args.indir, 'models')
+    if getattr(args, 'repair_index', False):
+        # drop records for deleted checkpoint dirs and demote values a buggy
+        # metric recorded (non-finite / outside the monitor's valid range) so
+        # they can never be picked as best (round-3 campaign: a pre-fix
+        # SSIM=2.05 record stayed in the retained index)
+        monitor = 'val_ssim_fid100_f1_total_mean'
+        cfg_path = os.path.join(args.indir, 'config.yaml')
+        if os.path.exists(cfg_path):
+            from lama_tpu.config import load_yaml
+            cfg = load_yaml(cfg_path)
+            monitor = str(cfg.select('trainer.checkpoint_kwargs.monitor',
+                                     monitor))
+        summary = CheckpointManager.repair_index(models_dir, monitor=monitor)
+        print(f'Repaired {models_dir}/index.json (monitor={monitor}): '
+              f'{summary}')
+        if args.outdir is None:
+            return
+    if args.outdir is None:
+        raise SystemExit('outdir required unless --repair-index only')
     if args.epochs:
         names = [f'epoch{e}' for e in args.epochs]
     else:
@@ -66,10 +85,14 @@ def main(args):
 if __name__ == '__main__':
     parser = argparse.ArgumentParser()
     parser.add_argument('indir')
-    parser.add_argument('outdir')
+    parser.add_argument('outdir', nargs='?', default=None)
     parser.add_argument('--epochs', nargs='*', type=int, default=None,
                         help='epoch numbers to average (default: best by monitor)')
     parser.add_argument('--no-ema', action='store_true',
                         help='use raw generator weights instead of EMA')
+    parser.add_argument('--repair-index', action='store_true',
+                        help='repair models/index.json first: drop records '
+                             'for deleted checkpoints, demote non-finite / '
+                             'out-of-range monitor values to strictly-worst')
     parser.add_argument('--device', default=None, choices=[None, 'cpu', 'tpu'])
     main(parser.parse_args())

@@ -402,7 +402,7 @@ class BatchLoader:
 
     def __init__(self, dataset, batch_size=1, shuffle=False, num_workers=3,
                  drop_last=True, shard_id=0, num_shards=1, seed=0,
-                 prefetch=4, epoch=0):
+                 prefetch=4, epoch=0, shard_contiguous=False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -413,6 +413,12 @@ class BatchLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.epoch = epoch
+        # contiguous block shards (np.array_split) instead of strided: the
+        # host-rank concatenation of shards reproduces the ORIGINAL dataset
+        # order — required by validation, where per-host evaluator states are
+        # merged in rank order and must align sample-for-sample with the
+        # single-host full-set pass (training/trainer.py::_run_eval_loop)
+        self.shard_contiguous = shard_contiguous
 
     def set_epoch(self, epoch):
         self.epoch = epoch
@@ -422,7 +428,10 @@ class BatchLoader:
         order = np.arange(n)
         if self.shuffle:
             np.random.RandomState(self.seed + self.epoch).shuffle(order)
-        order = order[self.shard_id::self.num_shards]
+        if self.shard_contiguous:
+            order = np.array_split(order, self.num_shards)[self.shard_id]
+        else:
+            order = order[self.shard_id::self.num_shards]
         n_batches = len(order) // self.batch_size if self.drop_last \
             else ceil_modulo(len(order), self.batch_size) // self.batch_size
         return order, n_batches

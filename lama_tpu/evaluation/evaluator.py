@@ -107,8 +107,12 @@ class InpaintingEvaluator:
 class InpaintingEvaluatorOnline:
     """Functional in-training evaluator: `process_batch` computes and
     accumulates per-batch score states; `evaluation_end(states=...)` merges
-    states collected across validation steps (and hosts) and produces the
-    keyed results dict (reference evaluator.py:129-220)."""
+    the states the CALLER collected and produces the keyed results dict
+    (reference evaluator.py:129-220). Cross-host merging is the caller's
+    job: the trainer shards the val set per host, allgathers every host's
+    (groups, states) in rank order, and passes the concatenation here
+    (training/trainer.py::_run_eval_loop; reference trainers/
+    base.py:189-209 relied on Lightning's DDP gathering for this)."""
 
     def __init__(self, scores, bins=10, image_key='image', inpainted_key='inpainted',
                  integral_func=None, integral_title=None, clamp_image_range=None):

@@ -56,3 +56,31 @@ def _looks_like_pod() -> bool:
 def is_main_process() -> bool:
     """rank-0 gating for logging/checkpoints (reference base.py:290-291)."""
     return jax.process_index() == 0
+
+
+def allgather_pyobj(obj):
+    """Gather one arbitrary picklable object per process; returns the list in
+    process-rank order (single process: `[obj]`).
+
+    The TPU-native analogue of torch.distributed.all_gather_object, used to
+    merge per-host evaluator states at validation end (reference
+    trainers/base.py:189-209 relies on Lightning's DDP state gathering).
+    Objects are pickled to uint8 payloads, zero-padded to the max payload
+    length (multihost allgather needs equal shapes per process), gathered
+    through the ICI/DCN fabric, and unpickled per rank. Collective: every
+    process must call it the same number of times."""
+    if jax.process_count() == 1:
+        return [obj]
+    import pickle
+
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(pickle.dumps(obj), dtype=np.uint8)
+    lengths = np.asarray(multihost_utils.process_allgather(
+        np.asarray([payload.size], np.int32))).reshape(-1)
+    padded = np.zeros((int(lengths.max()),), np.uint8)
+    padded[:payload.size] = payload
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    return [pickle.loads(gathered[i, :int(lengths[i])].tobytes())
+            for i in range(jax.process_count())]

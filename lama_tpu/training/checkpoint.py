@@ -9,12 +9,15 @@ Replaces Lightning's ModelCheckpoint + bin/make_checkpoint.py (SURVEY §5.4):
 - torch interop lives in convert.py (load reference .ckpt's directly).
 """
 import json
+import logging
 import os
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import numpy as np
 import orbax.checkpoint as ocp
+
+LOGGER = logging.getLogger(__name__)
 
 
 def save_pytree(path: str, tree: Any):
@@ -55,13 +58,36 @@ class CheckpointManager:
     (reference: ModelCheckpoint(save_top_k=5, save_last=True,
     monitor='val_ssim_fid100_f1_total_mean', mode='max'))."""
 
+    # Valid value ranges per monitor-name fragment (first match wins; probed
+    # longest-fragment-first so 'ssim_fid100_f1' beats 'ssim'). A value a
+    # buggy metric records outside its range must never be selected as
+    # "best" — the round-3 campaign retained an SSIM=2.05 record produced by
+    # the pre-fix TPU conv-precision bug (BASELINE.md round-3 footnote).
+    DEFAULT_MONITOR_RANGES = (
+        ('ssim_fid100_f1', (0.0, 1.0)),
+        ('lpips_fid100_f1', (0.0, 1.0)),
+        ('ssim', (-1.0, 1.0)),
+        ('lpips', (0.0, float('inf'))),
+        ('fid', (0.0, float('inf'))),
+    )
+
+    @classmethod
+    def monitor_range_for(cls, monitor: str) -> Optional[Tuple[float, float]]:
+        for fragment, rng in cls.DEFAULT_MONITOR_RANGES:
+            if fragment in (monitor or ''):
+                return rng
+        return None
+
     def __init__(self, directory: str, monitor: str = 'val_ssim_fid100_f1_total_mean',
-                 mode: str = 'max', save_top_k: int = 5, save_last: bool = True):
+                 mode: str = 'max', save_top_k: int = 5, save_last: bool = True,
+                 monitor_range: Optional[Tuple[float, float]] = None):
         self.directory = directory
         self.monitor = monitor
         self.mode = mode
         self.save_top_k = save_top_k
         self.save_last = save_last
+        self.monitor_range = (tuple(monitor_range) if monitor_range is not None
+                              else self.monitor_range_for(monitor))
         self.records: List[Dict] = []
         os.makedirs(directory, exist_ok=True)
         self._index_path = os.path.join(directory, 'index.json')
@@ -72,11 +98,25 @@ class CheckpointManager:
     def _better(self, a, b):
         return a > b if self.mode == 'max' else a < b
 
+    def _valid_value(self, value: float) -> bool:
+        if not np.isfinite(value):
+            return False
+        if self.monitor_range is not None:
+            lo, hi = self.monitor_range
+            return lo <= value <= hi
+        return True
+
     def save(self, state, epoch: int, metrics: Dict[str, float]):
         value = float(metrics.get(self.monitor, float('-inf') if self.mode == 'max' else float('inf')))
-        if not np.isfinite(value):
-            # NaN/inf monitor values sort unpredictably and could be retained
-            # as "best"; rank them strictly worst instead
+        if not self._valid_value(value):
+            # NaN/inf monitor values sort unpredictably, and out-of-range
+            # values mean the metric itself was broken — either could be
+            # retained as "best"; rank them strictly worst instead
+            if self.monitor in metrics:
+                LOGGER.warning(
+                    f'monitor {self.monitor}={value} is non-finite or '
+                    f'outside its valid range {self.monitor_range}; ranking '
+                    f'epoch {epoch} strictly worst')
             value = float('-inf') if self.mode == 'max' else float('inf')
         name = f'epoch{epoch}'
         path = os.path.join(self.directory, name)
@@ -110,6 +150,38 @@ class CheckpointManager:
     def last_path(self) -> Optional[str]:
         p = os.path.join(self.directory, 'last')
         return p if os.path.exists(p) else None
+
+    @classmethod
+    def repair_index(cls, directory: str, monitor: str = '',
+                     mode: str = 'max',
+                     monitor_range: Optional[Tuple[float, float]] = None) -> Dict:
+        """Repair an index.json in place: drop records whose checkpoint dirs
+        are gone, and demote records whose value is non-finite or outside the
+        monitor's valid range to strictly-worst (so a value recorded by a
+        buggy metric — e.g. the round-3 campaign's pre-fix SSIM=2.05 — can
+        never be selected as best). The demoted record keeps the original
+        under 'invalid_value' for auditability. Returns a summary dict."""
+        index_path = os.path.join(directory, 'index.json')
+        with open(index_path) as f:
+            records = json.load(f)
+        rng = (tuple(monitor_range) if monitor_range is not None
+               else cls.monitor_range_for(monitor))
+        worst = float('-inf') if mode == 'max' else float('inf')
+        kept, dropped, demoted = [], [], []
+        for r in records:
+            if not os.path.isdir(os.path.join(directory, str(r['name']))):
+                dropped.append(r['name'])
+                continue
+            v = float(r['value'])
+            lo, hi = rng if rng is not None else (float('-inf'), float('inf'))
+            if not np.isfinite(v) or not (lo <= v <= hi):
+                r = {**r, 'value': worst, 'invalid_value': v}
+                demoted.append(r['name'])
+            kept.append(r)
+        with open(index_path, 'w') as f:
+            json.dump(kept, f)
+        return {'kept': [r['name'] for r in kept], 'dropped': dropped,
+                'demoted': demoted}
 
     @staticmethod
     def epoch_of(path: str) -> Optional[int]:

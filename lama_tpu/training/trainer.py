@@ -223,7 +223,8 @@ class InpaintingTrainer:
             monitor=ckpt_kwargs.get('monitor', 'val_ssim_fid100_f1_total_mean'),
             mode=ckpt_kwargs.get('mode', 'max'),
             save_top_k=int(ckpt_kwargs.get('save_top_k', 5)),
-            save_last=bool(ckpt_kwargs.get('save_last', True)))
+            save_last=bool(ckpt_kwargs.get('save_last', True)),
+            monitor_range=ckpt_kwargs.get('monitor_range', None))
 
         # ---- logging
         try:
@@ -320,7 +321,14 @@ class InpaintingTrainer:
         dl_kwargs.pop('num_workers', None)
         kwargs.setdefault('kind', 'default')
         dataset = make_default_val_dataset(**kwargs)
-        return BatchLoader(dataset, shuffle=False, drop_last=False, **dl_kwargs)
+        # per-host sharding (same contract as the train loader): each host
+        # evaluates a DISJOINT slice and _run_eval_loop merges the per-host
+        # score states — no host evaluates the full set redundantly
+        # (reference trainers/base.py:189-209 gathers DDP rank states)
+        return BatchLoader(dataset, shuffle=False, drop_last=False,
+                           shard_id=jax.process_index(),
+                           num_shards=jax.process_count(),
+                           shard_contiguous=True, **dl_kwargs)
 
     # ------------------------------------------------------------------ state
     def init_state(self, sample_batch, seed=0):
@@ -565,6 +573,18 @@ class InpaintingTrainer:
             # batch; other modes only on the visualize_each_iters cadence
             if (batch_i == 0 or visualize_all) and jax.process_index() == 0:
                 self._visualize(epoch, batch_i, ev_batch, suffix=f'_{prefix}')
+        if jax.process_count() > 1:
+            # merge the per-host evaluator states: every host contributes its
+            # disjoint val shard and every host computes the SAME global
+            # metrics (the checkpoint monitor must agree across ranks).
+            # groups (mask-area bin per sample) concatenate in the same
+            # host-rank order as the per-sample score states. Collective —
+            # every host reaches here each eval loop, even with 0 batches.
+            from ..parallel.multihost import allgather_pyobj
+            merged = allgather_pyobj((list(evaluator.groups), states))
+            evaluator.groups = [g for host_groups, _ in merged
+                                for g in host_groups]
+            states = [s for _, host_states in merged for s in host_states]
         if not states:
             return {}
         results = evaluator.evaluation_end(states=states)

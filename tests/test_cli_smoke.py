@@ -118,6 +118,23 @@ def test_make_checkpoint_and_find_best(tmp_path):
     np.testing.assert_array_equal(np.asarray(restored2['params']['w']),
                                   np.full((2, 2), 0.5, np.float32))
 
+    # --repair-index (outdir optional): a bogus out-of-range record is
+    # demoted in place so the later export picks the real best epoch
+    records.append({'name': 'epoch9', 'epoch': 9, 'value': 23.8})
+    (run / 'models' / 'epoch9').mkdir()
+    with open(run / 'models' / 'index.json', 'w') as f:
+        json.dump(records, f)
+    with open(run / 'config.yaml', 'w') as f:
+        yaml.safe_dump({'generator': {'kind': 'ffc_resnet'},
+                        'trainer': {'checkpoint_kwargs':
+                                    {'monitor': 'val_ssim_total_mean'}}}, f)
+    make_checkpoint.main(argparse.Namespace(indir=str(run), outdir=None,
+                                            epochs=None, no_ema=False,
+                                            device=None, repair_index=True))
+    with open(run / 'models' / 'index.json') as f:
+        repaired = json.load(f)
+    assert {r['name']: r['value'] for r in repaired}['epoch9'] == float('-inf')
+
     # find_best_checkpoint over the run dir
     lst = tmp_path / 'runs.lst'
     lst.write_text('run\n')

@@ -116,6 +116,75 @@ def test_two_process_full_trainer_fit(tmp_path):
     assert results[1]['own_checkpoints'] == []
 
 
+VAL_WORKER = os.path.join(REPO, 'tests', 'multihost_val_worker.py')
+
+
+@pytest.mark.slow
+def test_multihost_validation_merge(tmp_path):
+    """VERDICT r3 item 3: validation shards across hosts (contiguous disjoint
+    slices) and the per-host evaluator states are allgathered and merged —
+    2-process merged metrics must equal a single-process full-set pass
+    EXACTLY, and both ranks must agree on the merged values (the checkpoint
+    monitor must be identical across hosts)."""
+    from lama_tpu.data.io import save_image
+    rng = np.random.RandomState(2)
+    os.makedirs(tmp_path / 'val')
+    # 8 images, val_batch_size=2 -> contiguous shards [0..3] / [4..7], two
+    # batches of 2 per host; mask areas vary so several area bins populate
+    for i in range(8):
+        img = rng.rand(32, 32, 3).astype(np.float32)
+        mask = np.zeros((32, 32, 1), np.float32)
+        mask[4:4 + 2 * (i + 1), 4:4 + 3 * (i + 1) // 2] = 1
+        save_image(str(tmp_path / 'val' / f'v{i}.png'), img)
+        save_image(str(tmp_path / 'val' / f'v{i}_mask.png'), mask)
+
+    port = _free_port()
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'
+    env['XLA_FLAGS'] = (env.get('XLA_FLAGS', '')
+                        + ' --xla_force_host_platform_device_count=4').strip()
+    procs = [subprocess.Popen(
+        [sys.executable, VAL_WORKER, '--process-id', str(i),
+         '--num-processes', '2', '--coordinator', f'localhost:{port}',
+         '--outdir', str(tmp_path)],
+        env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for i in range(2)]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f'val worker failed:\n{out[-6000:]}'
+
+    results = []
+    for i in range(2):
+        with open(tmp_path / f'val_worker{i}.json') as f:
+            results.append(json.load(f))
+
+    # each host evaluated HALF the set (2 batches of 2), not the full set
+    assert ['val', 2] in results[0]['local_val_batches']
+    assert ['val', 2] in results[1]['local_val_batches']
+    # both ranks computed IDENTICAL merged metrics
+    assert results[0]['metrics'] == results[1]['metrics']
+    assert any('ssim' in k for k in results[0]['metrics'])
+
+    # single-process full-set reference: same seeded init, same code path
+    import multihost_val_worker as vw
+    from lama_tpu.config import compose
+    os.environ['LAMA_DATA_ROOT'] = str(tmp_path)
+    os.environ.setdefault('TORCH_HOME', '/tmp/th')
+    try:
+        config = compose(os.path.join(REPO, 'configs', 'training'),
+                         'lama-fourier', vw.OVERRIDES)
+        single = vw.build_trainer_and_validate(config,
+                                               str(tmp_path / 'single_run'))
+    finally:
+        os.environ.pop('LAMA_DATA_ROOT', None)
+    assert set(single) == set(results[0]['metrics'])
+    for k, v in single.items():
+        # contiguous shards concatenate in rank order = the original dataset
+        # order, and every batch has the same shape -> per-sample score
+        # values and their reductions are bitwise identical
+        assert results[0]['metrics'][k] == v, (k, results[0]['metrics'][k], v)
+
+
 @pytest.mark.slow
 def test_four_process_full_trainer_fit(tmp_path):
     """Round-3 extension of the 2-process rehearsal: 4 real processes x 2

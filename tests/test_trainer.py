@@ -186,6 +186,58 @@ def test_checkpoint_manager_nonfinite_monitor(tmp_path):
     assert 'epoch0' not in names  # pruned as worst
 
 
+def test_checkpoint_manager_out_of_range_monitor(tmp_path):
+    """Values outside the monitor's valid range (e.g. the round-3 campaign's
+    pre-fix SSIM=2.05) rank strictly worst — a broken metric must never win
+    checkpoint selection."""
+    from lama_tpu.training.checkpoint import CheckpointManager
+    cm = CheckpointManager(str(tmp_path / 'models'),
+                           monitor='val_ssim_total_mean', mode='max',
+                           save_top_k=2, save_last=False)
+    assert cm.monitor_range == (-1.0, 1.0)  # inferred from 'ssim'
+    cm.save({'x': np.zeros(2)}, 0, {'val_ssim_total_mean': 2.05})
+    cm.save({'x': np.ones(2)}, 1, {'val_ssim_total_mean': 0.5})
+    cm.save({'x': np.ones(2)}, 2, {'val_ssim_total_mean': 0.7})
+    best = cm.best_path()
+    assert best is not None and best.endswith('epoch2')
+    assert 'epoch0' not in {r['name'] for r in cm.records}  # pruned as worst
+    # integral monitor gets the [0, 1] range, explicit override wins
+    cm2 = CheckpointManager(str(tmp_path / 'm2'))
+    assert cm2.monitor_range == (0.0, 1.0)
+    cm3 = CheckpointManager(str(tmp_path / 'm3'), monitor='val_ssim_total_mean',
+                            monitor_range=(0.0, 0.5))
+    assert cm3.monitor_range == (0.0, 0.5)
+
+
+def test_checkpoint_index_repair(tmp_path):
+    """CheckpointManager.repair_index drops records for deleted checkpoint
+    dirs and demotes out-of-range/non-finite values (keeping the original
+    under 'invalid_value'), so stale bogus records can't be selected."""
+    import json
+    from lama_tpu.training.checkpoint import CheckpointManager
+    models = tmp_path / 'models'
+    models.mkdir()
+    for name in ('epoch1', 'epoch2', 'epoch3'):
+        (models / name).mkdir()
+    records = [
+        {'name': 'epoch0', 'epoch': 0, 'value': 0.9},    # dir deleted
+        {'name': 'epoch1', 'epoch': 1, 'value': 2.05},   # bogus SSIM
+        {'name': 'epoch2', 'epoch': 2, 'value': float('nan')},
+        {'name': 'epoch3', 'epoch': 3, 'value': 0.8},
+    ]
+    with open(models / 'index.json', 'w') as f:
+        json.dump(records, f)
+    summary = CheckpointManager.repair_index(str(models),
+                                             monitor='val_ssim_total_mean')
+    assert summary['dropped'] == ['epoch0']
+    assert summary['demoted'] == ['epoch1', 'epoch2']
+    cm = CheckpointManager(str(models), monitor='val_ssim_total_mean')
+    assert cm.best_path().endswith('epoch3')
+    by_name = {r['name']: r for r in cm.records}
+    assert by_name['epoch1']['value'] == float('-inf')
+    assert by_name['epoch1']['invalid_value'] == 2.05
+
+
 def test_trainer_fit_web_dataset(synth_data, rng):
     """fit() over the webdataset kind (tar shards + IterableBatchLoader):
     steps run, checkpoints land, and set_epoch reaches the shard shuffler
