@@ -342,6 +342,48 @@ def test_mask_example(tmp_path):
     assert len(list(out.glob('*.png'))) >= 6
 
 
+def test_mask_suite_stats(tmp_path):
+    """bin/mask_suite_stats.py: distribution stats of a generated mask suite
+    + compare mode (the segm-backend divergence quantification tool)."""
+    import mask_suite_stats
+    suite = tmp_path / 'suite'
+    suite.mkdir()
+    # one 25%-area square (solidity 1, 1 component), one two-component mask
+    m1 = np.zeros((64, 64), np.float32)
+    m1[16:48, 16:48] = 1
+    m2 = np.zeros((64, 64), np.float32)
+    m2[4:14, 4:14] = 1
+    m2[40:60, 40:60] = 1
+    save_image(str(suite / 'a_mask000.png'), m1[..., None])
+    save_image(str(suite / 'b_mask000.png'), m2[..., None])
+
+    stats = mask_suite_stats.suite_stats(str(suite))
+    assert stats['n_masks'] == 2
+    assert abs(stats['area']['mean'] - (0.25 + (100 + 400) / 4096) / 2) < 1e-3
+    assert stats['n_components']['mean'] == 1.5
+    assert stats['solidity']['p90'] > 0.9
+    assert stats['masks_per_image']['mean'] == 1.0
+
+    out = tmp_path / 's.json'
+    rc = mask_suite_stats.main(argparse.Namespace(
+        suite_dir=str(suite), out=str(out), compare=None, tolerance=0.25,
+        mask_glob='**/*_mask*.png'))
+    assert rc == 0 and out.exists()
+    # self-compare passes; a doctored reference diverges
+    rc = mask_suite_stats.main(argparse.Namespace(
+        suite_dir=str(suite), out=None, compare=str(out), tolerance=0.25,
+        mask_glob='**/*_mask*.png'))
+    assert rc == 0
+    doctored = json.load(open(out))
+    doctored['area']['mean'] *= 3
+    with open(tmp_path / 'd.json', 'w') as f:
+        json.dump(doctored, f)
+    rc = mask_suite_stats.main(argparse.Namespace(
+        suite_dir=str(suite), out=None, compare=str(tmp_path / 'd.json'),
+        tolerance=0.25, mask_glob='**/*_mask*.png'))
+    assert rc == 1
+
+
 def test_evaluator_example(tmp_path, monkeypatch):
     import evaluator_example
     monkeypatch.chdir(tmp_path)
@@ -370,6 +412,29 @@ def test_precompile_cli(tmp_path, model_dir, monkeypatch):
         from jax._src import compilation_cache as _cc
         _cc.reset_cache()
     assert cache.is_dir() and len(list(cache.iterdir())) >= 2
+
+
+def test_precompile_cli_metrics(tmp_path, model_dir, monkeypatch):
+    """metrics=ssim warms the evaluation kernels alongside serving (round-4:
+    the evaluate_predicts wall is trace/compile-dominated)."""
+    cache = tmp_path / 'cc'
+    monkeypatch.setenv('LAMA_COMPILATION_CACHE', str(cache))
+    import jax
+    import precompile as precompile_cli
+    keys = ('jax_compilation_cache_dir',
+            'jax_persistent_cache_min_entry_size_bytes',
+            'jax_persistent_cache_min_compile_time_secs')
+    prior = {k: getattr(jax.config, k) for k in keys}
+    try:
+        precompile_cli.main([f'model.path={model_dir}', 'shapes=64x64',
+                             'batch_size=1', 'device=cpu', 'precision=fp32',
+                             'metrics=ssim', 'metrics_batches=2,1'])
+    finally:
+        for k, v in prior.items():
+            jax.config.update(k, v)
+        from jax._src import compilation_cache as _cc
+        _cc.reset_cache()
+    assert cache.is_dir() and len(list(cache.iterdir())) >= 1
 
 
 def test_precompile_cli_int8_calibration(tmp_path, model_dir, monkeypatch):
