@@ -53,7 +53,7 @@ class InpaintingTrainDataset:
             img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
         img = self.transform(image=img, rng=rng)['image']  # HWC float
         mask = self.mask_generator((img.shape[0], img.shape[1]),
-                                   iter_i=iter_i, rng=rng)
+                                   iter_i=iter_i, raw_image=img, rng=rng)
         return dict(image=img.astype(np.float32), mask=mask.astype(np.float32))
 
     def __getitem__(self, item) -> Dict[str, np.ndarray]:
@@ -174,7 +174,7 @@ class InpaintingTrainWebDataset:
             nonlocal iter_i
             img = self.transform(image=img, rng=rng)['image']
             mask = self.mask_generator((img.shape[0], img.shape[1]),
-                                       iter_i=iter_i, rng=rng)
+                                       iter_i=iter_i, raw_image=img, rng=rng)
             iter_i += 1
             return dict(image=img.astype(np.float32), mask=mask.astype(np.float32))
 
@@ -213,7 +213,8 @@ class ImgSegmentationDataset:
         img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
         img = cv2.resize(img, (self.out_size, self.out_size))
         img = self.transform(image=img, rng=self.rng)['image']
-        mask = self.mask_generator((img.shape[0], img.shape[1]), rng=self.rng)
+        mask = self.mask_generator((img.shape[0], img.shape[1]),
+                                   raw_image=img, rng=self.rng)
         segm, segm_classes = self._load_semantic_segm(path)
         return dict(image=img.astype(np.float32), mask=mask.astype(np.float32),
                     segm=segm, segm_classes=segm_classes)

@@ -192,7 +192,16 @@ class RandomSegmentationMaskGenerator:
                 if self.impl is None:
                     from ..evaluation.masks import SegmentationMask
                     self.impl = SegmentationMask(**self.kwargs)
-        hwc = np.transpose(img, (1, 2, 0)) if img.ndim == 3 and img.shape[0] in (1, 3) else img
+        # the dataset call sites pass the (h, w) SHAPE as `img` (the other
+        # generators only need geometry) and the pixels as `raw_image`;
+        # the reference passes the CHW image itself (masks.py:61-65)
+        image = img if hasattr(img, 'ndim') else raw_image
+        if image is None or not hasattr(image, 'ndim'):
+            raise ValueError(
+                'RandomSegmentationMaskGenerator needs the image pixels: the '
+                'dataset must pass raw_image= (got only a shape tuple)')
+        hwc = (np.transpose(image, (1, 2, 0))
+               if image.ndim == 3 and image.shape[0] in (1, 3) else image)
         masks = [m for m in self.impl.get_masks(hwc) if len(np.unique(m)) > 1]
         r = _rng(rng)
         return masks[r.randint(len(masks))][..., None].astype(np.float32)

@@ -85,6 +85,26 @@ def test_random_segmentation_mask_generator_with_default_backend():
     assert mask2.shape[:2] == (128, 128)
 
 
+def test_segm_generator_accepts_shape_plus_raw_image():
+    """The dataset call sites pass the (h, w) SHAPE as `img` and the pixels
+    as `raw_image` (datasets.py train/web/segm loaders) — the segm generator
+    must use raw_image then (round-4 regression: it crashed on the tuple),
+    and must raise clearly when given only a shape."""
+    from lama_tpu.data.masks import RandomSegmentationMaskGenerator
+    pred = ADE20kPanopticPredictor(segmentation_module=StubSegmentationModule())
+    kwargs = dict(predictor=pred, max_object_area=0.5, min_mask_area=0.005,
+                  downsample_levels=5, num_variants_per_mask=3,
+                  max_mask_intersection=0.9, max_foreground_coverage=0.9,
+                  max_foreground_intersection=0.9, max_hidden_area=0.5)
+    gen = RandomSegmentationMaskGenerator(**kwargs)
+    img = np.random.RandomState(1).rand(128, 128, 3).astype(np.float32)
+    mask = gen((128, 128), raw_image=img, rng=np.random.RandomState(0))
+    assert mask.shape == (128, 128, 1)
+    gen2 = RandomSegmentationMaskGenerator(**kwargs)
+    with pytest.raises(ValueError, match='raw_image'):
+        gen2((128, 128), rng=np.random.RandomState(0))
+
+
 @pytest.mark.slow
 def test_default_backend_random_weights_runs():
     """The real SegmentationModule with RANDOM weights: labels are arbitrary
