@@ -95,7 +95,8 @@ class InpaintingTrainStep:
                  fake_fakes_proba: float = 0.0,
                  fake_fakes_gen=None,
                  add_noise_kwargs: Optional[Dict[str, Any]] = None,
-                 noise_fill_hole: bool = False):
+                 noise_fill_hole: bool = False,
+                 r1_every: int = 1):
         self.generator = generator
         self.discriminator = discriminator
         self.adversarial = adversarial
@@ -120,6 +121,14 @@ class InpaintingTrainStep:
         # multiscale input noise (default.py:61-65, base.py:43-55)
         self.add_noise_kwargs = add_noise_kwargs
         self.noise_fill_hole = noise_fill_hole
+        # lazy R1 (StyleGAN2 §Lazy regularization, arXiv 1912.04958 App. B):
+        # compute the R1 double-grad only every `r1_every`-th step, scaled by
+        # r1_every so the regularization expectation matches the every-step
+        # protocol. OPT-IN (default 1 = the reference's every-step R1,
+        # adversarial.py:71-79); the skipped steps drop the second
+        # differentiation through the discriminator entirely (lax.cond runs
+        # one branch on TPU). trainer.kwargs / losses.adversarial.r1_every.
+        self.r1_every = int(r1_every)
 
     # ------------------------------------------------------------------ utils
     def _gen_input(self, img, mask, rng=None):
@@ -211,12 +220,25 @@ class InpaintingTrainStep:
         return total, (metrics, new_g_stats, d_stats, pred)
 
     def _discriminator_loss(self, d_params, d_stats, img, pred_detached, mask,
-                            fake_fakes=None, use_fake_fakes=None):
+                            fake_fakes=None, use_fake_fakes=None, step=None):
         def real_score_fn(r):
             score, _, _ = self._disc_apply(d_params, d_stats, r)
             return score
 
-        real_pred, gp = self.adversarial.r1_penalty(real_score_fn, img)
+        if self.r1_every > 1 and step is not None:
+            # lazy R1 (see __init__): the cond's taken branch is the only one
+            # executed on device, so off-steps skip the vjp double-grad work
+            def _with_r1(_):
+                rp, gp = self.adversarial.r1_penalty(real_score_fn, img)
+                return rp, gp * float(self.r1_every)
+
+            def _without_r1(_):
+                return real_score_fn(img), jnp.zeros((), jnp.float32)
+
+            real_pred, gp = jax.lax.cond(step % self.r1_every == 0,
+                                         _with_r1, _without_r1, None)
+        else:
+            real_pred, gp = self.adversarial.r1_penalty(real_score_fn, img)
         # advance BN stats: real pass then fake pass (torch call order,
         # trainers/default.py:147-148); XLA CSEs the duplicate real forward.
         _, _, stats1 = self._disc_apply(d_params, d_stats, img)
@@ -271,7 +293,7 @@ class InpaintingTrainStep:
         (d_loss, (d_metrics, d_stats)), d_grads = \
             jax.value_and_grad(self._discriminator_loss, has_aux=True)(
                 state.d_params, d_stats_after_g, img, pred_detached, mask,
-                fake_fakes, use_ff)
+                fake_fakes, use_ff, state.step)
         d_updates, d_opt_state = self.d_tx.update(d_grads, state.d_opt_state, state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)
         metrics.update({f'discr_{k}' if not k.startswith('discr') else k: v

@@ -73,6 +73,10 @@ class InpaintingTrainer:
         adv_kwargs = dict(config.losses.adversarial)
         adv_kwargs.pop('kind', None)
         adv_weight = adv_kwargs.pop('weight', 1)
+        # lazy R1 (opt-in, training/step.py): compute the R1 double-grad every
+        # k-th step, scaled by k. Not a reference knob — default 1 keeps the
+        # reference's every-step protocol exactly.
+        r1_every = int(adv_kwargs.pop('r1_every', 1) or 1)
         self.adversarial = make_discrim_loss(config.losses.adversarial.kind,
                                              weight=adv_weight, **adv_kwargs)
         perceptual_fn = None
@@ -182,7 +186,8 @@ class InpaintingTrainer:
             distance_weighted_mask_for_discr=self.distance_weighted_mask_for_discr,
             fake_fakes_proba=fake_fakes_proba, fake_fakes_gen=fake_fakes_gen,
             add_noise_kwargs=self.add_noise_kwargs,
-            noise_fill_hole=self.noise_fill_hole)
+            noise_fill_hole=self.noise_fill_hole,
+            r1_every=r1_every)
 
         # ---- mesh: largest device count that divides the global batch
         axes = tuple(_get(config, 'trainer.mesh.axes', ['data']))

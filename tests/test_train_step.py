@@ -62,6 +62,43 @@ def test_train_step_runs_and_updates(rng):
     assert metrics_hist[0]['gen_l1'] > 0
 
 
+def test_lazy_r1_every_k(rng):
+    """r1_every=K (lazy R1, opt-in): the R1 penalty appears only on steps
+    where step % K == 0, scaled by K so its expectation matches every-step
+    R1; other steps report gp == 0 and stay finite."""
+    gen = FFCResNetGenerator(**TINY_GEN)
+    disc = NLayerDiscriminator(input_nc=3, ndf=8, n_layers=2)
+    adv = make_discrim_loss('r1', weight=10, gp_coef=0.001,
+                            mask_as_fake_target=True, allow_scale_mask=True)
+    g_tx = make_optimizer('adam', lr=1e-3, clip_grad_norm=1.0)
+    d_tx = make_optimizer('adam', lr=1e-4, clip_grad_norm=1.0)
+    step = InpaintingTrainStep(gen, disc, adv, g_tx, d_tx,
+                               loss_config=LossConfig(resnet_pl_weight=0.0),
+                               ema=EMAConfig(enabled=False), r1_every=3)
+    batch = make_batch(rng)
+    state = create_train_state(jax.random.PRNGKey(0), gen, disc, batch,
+                               g_tx, d_tx, use_ema=False)
+    jit_step = jax.jit(step)
+    gps = []
+    for i in range(4):
+        state, metrics = jit_step(state, batch, jax.random.PRNGKey(i))
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), (k, v)
+        gps.append(float(metrics['discr_real_gp']))
+    assert gps[0] > 0 and gps[3] > 0      # steps 0 and 3: R1 computed (x3)
+    assert gps[1] == 0 and gps[2] == 0    # off-steps: no double-grad
+
+    # the on-step penalty is 3x the every-step penalty for the same state
+    step1 = InpaintingTrainStep(gen, disc, adv, g_tx, d_tx,
+                                loss_config=LossConfig(resnet_pl_weight=0.0),
+                                ema=EMAConfig(enabled=False), r1_every=1)
+    state1 = create_train_state(jax.random.PRNGKey(0), gen, disc, batch,
+                                g_tx, d_tx, use_ema=False)
+    _, m1 = jax.jit(step1)(state1, batch, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(gps[0], 3 * float(m1['discr_real_gp']),
+                               rtol=1e-5)
+
+
 def test_ema_gating(rng):
     gen, disc, g_tx, d_tx, step = build_step(
         ema=EMAConfig(enabled=True, start_step=2, period=1))
