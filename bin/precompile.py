@@ -138,6 +138,38 @@ def main(argv):
             LOGGER.info(f'predict {h}x{w} -> bucket {bh}x{bw} b{batch}'
                         + (f' x{spatial} H-shards' if spatial > 1 else '')
                         + f': compiled in {time.time() - t0:.1f}s')
+
+    # metrics=ssim,lpips,fid: warm the evaluation kernels too — the
+    # bin/evaluate_predicts.py wall (406-690 s for 24 images, BASELINE.md
+    # round 3) is dominated by aux-net trace+compile, not per-image compute.
+    # Shapes are the ORIGINAL image sizes (metric kernels see unpadded
+    # images); eval_batch mirrors eval2.yaml's evaluator batch (default 8),
+    # and the remainder batch (n % eval_batch) compiles separately at serve
+    # time, so pass e.g. metrics_batches=8,1 to warm both.
+    metrics_arg = cfg.get('metrics', None)
+    if metrics_arg:
+        from lama_tpu.evaluation.scores import (FIDScore, LPIPSScore,
+                                                SSIMScore)
+        batches = [int(v) for v in
+                   str(cfg.get('metrics_batches', '8')).split(',') if v]
+        enabled = [m for m in str(metrics_arg).split(',') if m]
+        scores = {}
+        for m in enabled:
+            scores[m] = {'ssim': SSIMScore, 'lpips': LPIPSScore,
+                         'fid': FIDScore}[m]()
+        for h, w in shapes:
+            for be in batches:
+                t0 = time.time()
+                a = jax.ShapeDtypeStruct((be, h, w, 3), jnp.float32)
+                if 'ssim' in scores:
+                    scores['ssim']._fn.lower(a, a).compile()
+                if 'lpips' in scores:
+                    scores['lpips']._fn.lower(a, a).compile()
+                if 'fid' in scores:
+                    fid_model = scores['fid'].model
+                    fid_model._apply.lower(fid_model.variables, a).compile()
+                LOGGER.info(f'metrics {list(scores)} {h}x{w} b{be}: '
+                            f'compiled in {time.time() - t0:.1f}s')
     LOGGER.info(f'Pre-warmed {len(shapes)} shape(s).')
 
 

@@ -60,6 +60,21 @@ SPECTRAL_CONCAT_LAYOUT = True
 # NEGATIVE — this narrower version touches only the 36 spectral BNs).
 SPECTRAL_FOLD_BN = False
 
+# PROBE ONLY (semantics-changing): replace the FourierUnit's spectral compute
+# with identity — the TIMING upper bound for the whole spectral slice of the
+# serving program (round-4 int8 attribution, probes/_t_int8_profile.py).
+# Never wire into a product path.
+SPECTRAL_SKIP = False
+
+# Round-4 measured-quality lever: when INT8_SERVING is on, run the
+# frequency-domain 1×1 conv through the int8 MXU path (per-tensor dynamic
+# activation scale over the frequency tensor, per-output-channel weight
+# scales). The spectrum is DC-dominated, so the per-tensor scale costs
+# high-frequency precision — gate any default flip on trained-weight
+# hole-PSNR staying at the bf16 path's own ~88 dB level
+# (probes/_t_int8_quality.py methodology). Default OFF.
+SPECTRAL_INT8 = False
+
 # Stream = Tuple[Optional[jnp.ndarray], Optional[jnp.ndarray]]  # (local, global)
 
 
@@ -151,6 +166,11 @@ class FourierUnit(nn.Module):
         from ..ops.spectral import irfft2_dft, rfft2_dft, use_dft_for
 
         orig_dtype = x.dtype
+        if SPECTRAL_SKIP and self.has_variable('params', 'conv_layer'):
+            # probe-only identity (params already exist, so checkpoints/init
+            # are unaffected); data-dependent so XLA cannot constant-fold the
+            # downstream convs away — an honest spectral-removal upper bound
+            return x[..., :self.features].astype(orig_dtype)
         if self.spatial_scale_factor is not None:
             orig_size = x.shape[1:3]
             x = interpolate(x, scale_factor=self.spatial_scale_factor,
@@ -216,9 +236,18 @@ class FourierUnit(nn.Module):
                     'VALID', dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
                 y = y.astype(jnp.float32) + shift[None, None, None, :]
             else:
-                y = jax.lax.conv_general_dilated(
-                    y, kern.astype(cdt), (1, 1), 'VALID',
-                    dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+                from ..ops import quant as _quant
+                if SPECTRAL_INT8 and _quant.INT8_SERVING and not train:
+                    # measured-quality lever (flag doc above): int8 MXU conv
+                    # over the frequency tensor — halves the conv's HBM reads
+                    # on the HBM-bound spectral slice (BASELINE.md round 3)
+                    y = _quant.quantized_conv2d(y, kern.astype(jnp.float32),
+                                                stride=1, padding=0,
+                                                out_dtype=cdt)
+                else:
+                    y = jax.lax.conv_general_dilated(
+                        y, kern.astype(cdt), (1, 1), 'VALID',
+                        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
                 # BN params/stats stay stored in the reference's interleaved
                 # order; PermutedBatchNorm gathers reads / scatters stat writes
                 # (channel-vector permutes — free next to the tensor shuffle

@@ -52,6 +52,13 @@ MIN_CONTRACTION_CHANNELS = 64
 # carries the most visible pixels).
 MIN_OUT_CHANNELS = 32
 
+# PROBE ONLY (semantics-changing): treat reflect/replicate padding as zero
+# padding inside quantized convs — 0 quantizes to 0 exactly, so XLA fuses the
+# pad into the conv and the int8-domain border gather disappears. Measures
+# the residual reflect-pad tax of the QUANTIZED convs in the round-4 int8
+# attribution (probes/_t_int8_profile.py). Never wire into a product path.
+PAD_PROBE_ZERO = False
+
 
 def conv_eligible(in_features: int, out_features: int, groups: int,
                   kh: int, kw: int) -> bool:
@@ -92,7 +99,7 @@ def quantized_conv2d(x, kernel, bias=None, stride=1, padding=0, dilation=1,
     xq = jnp.clip(jnp.round(x32 / s_x), -127, 127).astype(jnp.int8)
 
     has_pad = any(p != 0 for pair in padding for p in pair)
-    if padding_mode != 'zeros' and has_pad:
+    if padding_mode != 'zeros' and has_pad and not PAD_PROBE_ZERO:
         # reflect/replicate gather in the int8 domain (pure index copies);
         # zero padding stays fused in the conv (0 quantizes to 0 exactly)
         xq = pad2d(xq, padding, mode=padding_mode)

@@ -43,11 +43,22 @@ def main():
         fn = jax.jit(make_inpaint_forward(gen))
         outs[precision] = np.asarray(fn(variables, img_b, mask_b))[0]
         print(f'{precision}: done', flush=True)
+        if precision == 'int8':
+            # round-4 lever: also quantize the frequency-domain 1x1 conv
+            from lama_tpu.models import ffc as ffc_mod
+            ffc_mod.SPECTRAL_INT8 = True
+            try:
+                fn2 = jax.jit(make_inpaint_forward(gen))
+                outs['int8+spectral'] = np.asarray(
+                    fn2(variables, img_b, mask_b))[0]
+            finally:
+                ffc_mod.SPECTRAL_INT8 = False
+            print('int8+spectral: done', flush=True)
     quant.INT8_SERVING = False
 
     hole = mask[..., 0] > 0
     ref = outs['fp32']
-    for name in ('bf16', 'int8'):
+    for name in ('bf16', 'int8', 'int8+spectral'):
         d = outs[name][hole] - ref[hole]
         psnr = 10 * np.log10(1.0 / max(np.mean(d ** 2), 1e-12))
         print(f'{name} vs fp32 (hole): max|d|={np.abs(d).max():.4f} '

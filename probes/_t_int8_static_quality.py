@@ -1,0 +1,95 @@
+"""Probe: STATIC int8 activation-scale saturation sensitivity on held-out
+data, with TRAINED weights (VERDICT r3 item 6, second half).
+
+Protocol: calibrate static scales on K images (serving.calibrate_int8),
+then serve a DISJOINT suite of structured synthetic images and compare each
+against (a) dynamic-scale int8 and (b) fp32 — hole-region max|Δ| and PSNR.
+Activations exceeding the calibrated amax saturate at ±127, so this measures
+what a real deployment (calibrate once, serve forever) actually risks.
+Runs on CPU — identical quant code path as TPU.
+
+Run: python probes/_t_int8_static_quality.py [model_dir=/root/deploy_r4] [K=4]
+"""
+import os
+import sys
+
+import numpy as np
+
+os.environ.setdefault('LAMA_COMPILATION_CACHE', 'off')
+import jax  # noqa: E402
+jax.config.update('jax_platforms', 'cpu')
+import jax.numpy as jnp  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from lama_tpu.ops import quant  # noqa: E402
+from lama_tpu.serving import (calibrate_int8, load_serving_model,  # noqa: E402
+                              make_inpaint_forward)
+
+
+def synth(rng, s=256):
+    """Structured image (gradients + sinusoid + noise) — the
+    _t_int8_quality.py family's input distribution."""
+    yy, xx = np.mgrid[0:s, 0:s] / float(s - 1)
+    fy, fx = rng.randint(2, 12), rng.randint(2, 12)
+    img = np.stack([yy * rng.rand(), xx * rng.rand(),
+                    0.5 + 0.5 * np.sin(fy * np.pi * yy) * np.cos(fx * np.pi * xx)],
+                   axis=-1).astype(np.float32)
+    img = np.clip(img + rng.rand(s, s, 3).astype(np.float32) * 0.1, 0, 1)
+    mask = np.zeros((s, s, 1), np.float32)
+    h0, w0 = rng.randint(s // 8, s // 2, 2)
+    mask[h0:h0 + s // 3, w0:w0 + s // 3] = 1.0
+    return img, mask
+
+
+def main():
+    model_dir = sys.argv[1] if len(sys.argv) > 1 else '/root/deploy_r4'
+    K = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    N_EVAL = 24
+
+    rng = np.random.RandomState(7)
+    calib_pairs = [tuple(a[None] for a in synth(rng)) for _ in range(K)]
+    eval_pairs = [synth(rng) for _ in range(N_EVAL)]  # disjoint draws
+
+    # fp32 reference
+    gen, v_fp32, _ = load_serving_model(model_dir, 'best', precision='fp32')
+    fn32 = jax.jit(make_inpaint_forward(gen))
+
+    gen8, v_int8, _ = load_serving_model(model_dir, 'best', precision='int8')
+    fn_dyn = jax.jit(make_inpaint_forward(gen8))
+    v_static = calibrate_int8(gen8, v_int8, calib_pairs)
+    assert 'quant_stats' in v_static, 'no eligible convs?'
+    fn_sta = jax.jit(make_inpaint_forward(gen8))
+
+    rows = []
+    for img, mask in eval_pairs:
+        ib, mb = jnp.asarray(img[None]), jnp.asarray(mask[None])
+        ref = np.asarray(fn32(v_fp32, ib, mb))[0]
+        dyn = np.asarray(fn_dyn(v_int8, ib, mb))[0]
+        sta = np.asarray(fn_sta(v_static, ib, mb))[0]
+        hole = mask[..., 0] > 0
+
+        def metrics(out):
+            d = np.abs(out[hole] - ref[hole])
+            mse = float((d ** 2).mean())
+            return float(d.max()), (10 * np.log10(1.0 / mse) if mse > 0
+                                    else float('inf'))
+
+        rows.append((metrics(dyn), metrics(sta),
+                     float(np.abs(sta[hole] - dyn[hole]).max())))
+    quant.INT8_SERVING = False
+
+    dyn_max = max(r[0][0] for r in rows)
+    dyn_psnr = min(r[0][1] for r in rows)
+    sta_max = max(r[1][0] for r in rows)
+    sta_psnr = min(r[1][1] for r in rows)
+    cross = max(r[2] for r in rows)
+    print(f'K={K} calibration images, {N_EVAL} held-out eval images '
+          f'(hole region vs fp32, worst case over suite):')
+    print(f'  dynamic int8 : max|d|={dyn_max:.2e}  worst PSNR={dyn_psnr:.1f} dB')
+    print(f'  static  int8 : max|d|={sta_max:.2e}  worst PSNR={sta_psnr:.1f} dB')
+    print(f'  static vs dynamic max|d| = {cross:.2e}')
+
+
+if __name__ == '__main__':
+    main()

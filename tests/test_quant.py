@@ -99,6 +99,64 @@ def test_spectral_conv_never_quantizes(rng):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+def test_spectral_int8_lever(rng):
+    """SPECTRAL_INT8 (round-4 measured-quality lever): the frequency 1x1 conv
+    runs on the int8 MXU when INT8_SERVING is on. OFF (default) must be
+    bit-identical to the plain path; ON must stay numerically close on a
+    non-adversarial input (the trained-weight PSNR gate lives in
+    probes/_t_int8_quality.py)."""
+    from lama_tpu.models import ffc as ffc_mod
+    from lama_tpu.models.ffc import FourierUnit
+
+    fu = FourierUnit(features=64)
+    x = jnp.asarray(rng.randn(2, 16, 16, 64).astype(np.float32))
+    variables = fu.init(jax.random.PRNGKey(0), x, train=False)
+    ref = np.asarray(fu.apply(variables, x, train=False))
+
+    quant.INT8_SERVING = True
+    try:
+        off = np.asarray(fu.apply(variables, x, train=False))
+        np.testing.assert_array_equal(off, ref)  # flag off: untouched
+        ffc_mod.SPECTRAL_INT8 = True
+        try:
+            on = np.asarray(jax.jit(
+                lambda v, x: fu.apply(v, x, train=False))(variables, x))
+        finally:
+            ffc_mod.SPECTRAL_INT8 = False
+    finally:
+        quant.INT8_SERVING = False
+    rel = float(np.linalg.norm(on - ref) / (np.linalg.norm(ref) + 1e-9))
+    assert rel < 0.1, rel  # 8-bit operands over a DC-dominated spectrum
+    # training path never quantizes, flag or not
+    quant.INT8_SERVING = True
+    ffc_mod.SPECTRAL_INT8 = True
+    try:
+        tr, _ = fu.apply(variables, x, train=True,
+                         mutable=['batch_stats'])
+        assert np.isfinite(np.asarray(tr)).all()
+    finally:
+        ffc_mod.SPECTRAL_INT8 = False
+        quant.INT8_SERVING = False
+
+
+def test_spectral_skip_probe_flag(rng):
+    """SPECTRAL_SKIP is probe-only: the generator must still run end to end
+    (timing upper bound for the spectral slice) and the flag must not change
+    the variable tree."""
+    from lama_tpu.models import ffc as ffc_mod
+    from lama_tpu.models.ffc import FourierUnit
+
+    fu = FourierUnit(features=32)
+    x = jnp.asarray(rng.randn(1, 8, 8, 32).astype(np.float32))
+    variables = fu.init(jax.random.PRNGKey(0), x, train=False)
+    ffc_mod.SPECTRAL_SKIP = True
+    try:
+        out = np.asarray(fu.apply(variables, x, train=False))
+    finally:
+        ffc_mod.SPECTRAL_SKIP = False
+    np.testing.assert_array_equal(out, np.asarray(x))  # identity pass-through
+
+
 def test_int8_composes_with_spatial_shards(tmp_path, rng):
     """precision=int8 under spatial_shards: the dynamic per-tensor activation
     amax becomes a GSPMD collective over the H-sharded tensor — the global
