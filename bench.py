@@ -50,7 +50,12 @@ def main():
     from lama_tpu.ops import quant
     from lama_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
-    quant.INT8_SERVING = True  # trace-time flag, read while `chain` traces
+    quant.INT8_SERVING = True  # trace-time flags, read while `chain` traces
+    # zero-pad the quantized convs (round-4 WIN, +3.1%: the int8-domain
+    # reflect gather becomes a conv-fused zero pad). Quality gated with
+    # trained weights at the bf16 path's own level on center AND border
+    # holes (ops/quant.py::ZERO_PAD_SERVING doc; BASELINE.md round 4).
+    quant.ZERO_PAD_SERVING = True
 
     gen = FFCResNetGenerator(
         input_nc=4, output_nc=3, ngf=64, n_downsampling=3, n_blocks=18,
@@ -106,7 +111,7 @@ def main():
 
     print(json.dumps({
         'metric': (f'big-lama {SIZE}^2 inpainted images/sec/chip '
-                   f'(int8 serving, calibrated static scales, batch {BATCH})'),
+                   f'(int8 serving, static scales + zero-pad, batch {BATCH})'),
         'value': round(img_per_s, 2),
         'unit': 'img/s/chip',
         'vs_baseline': round(img_per_s / A100_BASELINE_IMG_S, 2),

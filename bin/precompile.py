@@ -52,7 +52,8 @@ def main(argv):
     # warmed HLO must be byte-identical to what serving compiles
     generator, variables, _ = load_serving_model(
         cfg.model.path, checkpoint=str(cfg.model.checkpoint),
-        precision=cfg.get('precision', 'bf16'))
+        precision=cfg.get('precision', 'bf16'),
+        quant_zero_pad=bool(cfg.get('quant_zero_pad', False)))
     wire = str(cfg.get('wire', 'fp32'))
     _predict = make_inpaint_forward(
         generator, wire=wire, out_key=str(cfg.get('out_key', 'inpainted')))

@@ -68,7 +68,8 @@ def main(argv):
                          'use precision=bf16 or fp32')
     generator, variables, gen_kwargs = load_serving_model(
         model_path, checkpoint=str(predict_config.model.checkpoint),
-        precision=predict_config.get('precision', 'bf16'))
+        precision=predict_config.get('precision', 'bf16'),
+        quant_zero_pad=bool(predict_config.get('quant_zero_pad', False)))
 
     out_ext = predict_config.get('out_ext', '.png')
     modulo = predict_config.dataset.pad_out_to_modulo

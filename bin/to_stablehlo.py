@@ -42,6 +42,7 @@ def main(argv):
     cfg = ConfigNode({'model': {'path': None, 'checkpoint': 'best'},
                       'outdir': None, 'height': 512, 'width': 512,
                       'device': 'tpu', 'precision': 'fp32',
+                      'quant_zero_pad': False,
                       'calibration_indir': None,
                       'calibration_img_suffix': '.png'})
     for k, v in parse_overrides(argv).items():
@@ -54,7 +55,8 @@ def main(argv):
     # is a trace-time decision and therefore baked into the artifact)
     generator, variables, _ = load_serving_model(
         cfg.model.path, checkpoint=str(cfg.model.checkpoint),
-        precision=str(cfg.precision))
+        precision=str(cfg.precision),
+        quant_zero_pad=bool(cfg.get('quant_zero_pad', False)))
     variables = jax.tree.map(jnp.asarray, variables)
 
     calib_dir = cfg.get('calibration_indir')

@@ -52,12 +52,19 @@ MIN_CONTRACTION_CHANNELS = 64
 # carries the most visible pixels).
 MIN_OUT_CHANNELS = 32
 
-# PROBE ONLY (semantics-changing): treat reflect/replicate padding as zero
-# padding inside quantized convs — 0 quantizes to 0 exactly, so XLA fuses the
-# pad into the conv and the int8-domain border gather disappears. Measures
-# the residual reflect-pad tax of the QUANTIZED convs in the round-4 int8
-# attribution (probes/_t_int8_profile.py). Never wire into a product path.
-PAD_PROBE_ZERO = False
+# Opt-in serving option (`quant_zero_pad=true`, requires precision=int8):
+# treat reflect/replicate padding as zero padding inside quantized convs —
+# 0 quantizes to 0 exactly, so XLA fuses the pad into the conv and the
+# int8-domain border gather disappears. MEASURED on v5e (round 4,
+# probes/_t_int8_profile.py pad_zero_int8): 91.0 -> 88.3 ms/batch (+3.1%,
+# 181.3 img/s at 512² b16). Semantics-changing (the quantized bottleneck/
+# up convs see zero borders instead of reflect), quality-gated with trained
+# weights (probes/_t_int8_quality.py): hole PSNR 85.5 dB vs fp32 on both
+# center and border-touching holes — the bf16 path's own level (85.6-85.7);
+# the effect is border-ring-local and the FFC global (spectral) stream,
+# which carries 75% of bottleneck channels, has no spatial-conv border at
+# all. Known pixels stay bit-exact (composite).
+ZERO_PAD_SERVING = False
 
 
 def conv_eligible(in_features: int, out_features: int, groups: int,
@@ -99,7 +106,7 @@ def quantized_conv2d(x, kernel, bias=None, stride=1, padding=0, dilation=1,
     xq = jnp.clip(jnp.round(x32 / s_x), -127, 127).astype(jnp.int8)
 
     has_pad = any(p != 0 for pair in padding for p in pair)
-    if padding_mode != 'zeros' and has_pad and not PAD_PROBE_ZERO:
+    if padding_mode != 'zeros' and has_pad and not ZERO_PAD_SERVING:
         # reflect/replicate gather in the int8 domain (pure index copies);
         # zero padding stays fused in the conv (0 quantizes to 0 exactly)
         xq = pad2d(xq, padding, mode=padding_mode)

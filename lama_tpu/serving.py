@@ -18,10 +18,16 @@ from .training.convert import load_torch_checkpoint
 
 
 def load_serving_model(model_path: str, checkpoint: str = 'best',
-                       precision: str = 'bf16') -> Tuple[object, dict, dict]:
+                       precision: str = 'bf16',
+                       quant_zero_pad: bool = False) -> Tuple[object, dict, dict]:
     """Build the generator from <model_path>/config.yaml and load weights from
     <model_path>/models/<checkpoint> (orbax dir or reference torch .ckpt).
-    Returns (generator, variables, gen_kwargs)."""
+    Returns (generator, variables, gen_kwargs).
+
+    `quant_zero_pad` (requires precision='int8'): zero-pad instead of
+    reflect-gather inside the quantized convs — measured +3.1% on v5e with
+    hole quality at the bf16 path's own level (ops/quant.py::ZERO_PAD_SERVING
+    doc carries the numbers)."""
     train_config = load_yaml(os.path.join(model_path, 'config.yaml'))
     resolve_interpolations(train_config)
     gen_kwargs = dict(train_config.generator)
@@ -32,8 +38,12 @@ def load_serving_model(model_path: str, checkpoint: str = 'best',
     dtype = {'bf16': jnp.bfloat16, 'fp32': jnp.float32,
              'int8': jnp.bfloat16}[precision]
     from .ops import quant
+    if quant_zero_pad and precision != 'int8':
+        raise ValueError('quant_zero_pad requires precision=int8 (it only '
+                         'affects the quantized convs)')
     quant.INT8_SERVING = (precision == 'int8')  # explicit both ways: a
     # later fp32/bf16 load in the same process must clear the mode
+    quant.ZERO_PAD_SERVING = bool(quant_zero_pad)
     generator = make_generator(kind, dtype=dtype, **gen_kwargs)
 
     ckpt = os.path.join(model_path, 'models', str(checkpoint))

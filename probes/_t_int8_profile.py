@@ -9,7 +9,7 @@ for surgical variants:
   spectral_skip  FourierUnit replaced by identity -> spectral-slice upper bound
   no_blocks      n_blocks=0 -> stem/downs/ups/out residue
   pad_zero       every reflect pad treated as zero pad (bf16 convs via
-                 PAD_PROBE_ZERO_MIN_H=0 + int8 convs via quant.PAD_PROBE_ZERO)
+                 PAD_PROBE_ZERO_MIN_H=0 + int8 convs via quant.ZERO_PAD_SERVING)
                  -> total reflect-pad tax under int8
   spectral_int8  the SPECTRAL_INT8 measured-quality lever (frequency 1x1 conv
                  on the int8 MXU) -> candidate win, quality gated separately
@@ -106,13 +106,33 @@ def main():
 
         if only is None or 'pad_zero' in only:
             conv_mod.PAD_PROBE_ZERO_MIN_H = 0
-            quant.PAD_PROBE_ZERO = True
+            quant.ZERO_PAD_SERVING = True
             try:
                 results['pad_zero'] = time_variant('pad_zero', gen, variables,
                                                    img, mask)
             finally:
                 conv_mod.PAD_PROBE_ZERO_MIN_H = None
-                quant.PAD_PROBE_ZERO = False
+                quant.ZERO_PAD_SERVING = False
+
+        if only is not None and 'pad_zero_bf16' in only:
+            # pads of the NON-quantized (bf16) convs only — the stem/out/
+            # spectral-adjacent convs where the bf16-era +5% lived
+            conv_mod.PAD_PROBE_ZERO_MIN_H = 0
+            try:
+                results['pad_zero_bf16'] = time_variant(
+                    'pad_zero_bf16', gen, variables, img, mask)
+            finally:
+                conv_mod.PAD_PROBE_ZERO_MIN_H = None
+
+        if only is not None and 'pad_zero_int8' in only:
+            # pads of the QUANTIZED convs only (int8-domain gather -> fused
+            # zero pad)
+            quant.ZERO_PAD_SERVING = True
+            try:
+                results['pad_zero_int8'] = time_variant(
+                    'pad_zero_int8', gen, variables, img, mask)
+            finally:
+                quant.ZERO_PAD_SERVING = False
 
         if only is None or 'spectral_int8' in only:
             ffc_mod.SPECTRAL_INT8 = True

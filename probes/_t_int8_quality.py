@@ -33,43 +33,53 @@ def main():
     img = np.clip(img + rng.rand(256, 256, 3).astype(np.float32) * 0.05, 0, 1)
     mask = np.zeros((256, 256, 1), np.float32)
     mask[96:192, 64:192] = 1.0
-    img_b = jnp.asarray(img[None])
-    mask_b = jnp.asarray(mask[None])
+    # two masks: a CENTER hole and a BORDER-touching hole — padding-semantics
+    # levers (quant.ZERO_PAD_SERVING) only show up where feature-map borders
+    # matter
+    mask_border = np.zeros((256, 256, 1), np.float32)
+    mask_border[0:96, 0:128] = 1.0
+    cases = {'center': mask, 'border': mask_border}
 
-    outs = {}
+    img_b = jnp.asarray(img[None])
+    outs = {k: {} for k in cases}
     for precision in ('fp32', 'bf16', 'int8'):
         gen, variables, _ = load_serving_model(model_dir, 'best',
                                                precision=precision)
         fn = jax.jit(make_inpaint_forward(gen))
-        outs[precision] = np.asarray(fn(variables, img_b, mask_b))[0]
+        for case, m in cases.items():
+            outs[case][precision] = np.asarray(
+                fn(variables, img_b, jnp.asarray(m[None])))[0]
         print(f'{precision}: done', flush=True)
         if precision == 'int8':
-            # round-4 lever: also quantize the frequency-domain 1x1 conv
             from lama_tpu.models import ffc as ffc_mod
-            ffc_mod.SPECTRAL_INT8 = True
-            try:
-                fn2 = jax.jit(make_inpaint_forward(gen))
-                outs['int8+spectral'] = np.asarray(
-                    fn2(variables, img_b, mask_b))[0]
-            finally:
-                ffc_mod.SPECTRAL_INT8 = False
-            print('int8+spectral: done', flush=True)
+            variants = (('int8+spectral', ffc_mod, 'SPECTRAL_INT8'),
+                        ('int8+zeropad', quant, 'ZERO_PAD_SERVING'))
+            for name, mod, attr in variants:
+                setattr(mod, attr, True)
+                try:
+                    fn2 = jax.jit(make_inpaint_forward(gen))
+                    for case, m in cases.items():
+                        outs[case][name] = np.asarray(
+                            fn2(variables, img_b, jnp.asarray(m[None])))[0]
+                finally:
+                    setattr(mod, attr, False)
+                print(f'{name}: done', flush=True)
     quant.INT8_SERVING = False
 
-    hole = mask[..., 0] > 0
-    ref = outs['fp32']
-    for name in ('bf16', 'int8', 'int8+spectral'):
-        d = outs[name][hole] - ref[hole]
-        psnr = 10 * np.log10(1.0 / max(np.mean(d ** 2), 1e-12))
-        print(f'{name} vs fp32 (hole): max|d|={np.abs(d).max():.4f} '
-              f'mean|d|={np.abs(d).mean():.5f} PSNR={psnr:.1f} dB', flush=True)
-    d = outs['int8'][hole] - outs['bf16'][hole]
-    psnr = 10 * np.log10(1.0 / max(np.mean(d ** 2), 1e-12))
-    print(f'int8 vs bf16 (hole): max|d|={np.abs(d).max():.4f} '
-          f'mean|d|={np.abs(d).mean():.5f} PSNR={psnr:.1f} dB', flush=True)
-    known = ~hole
-    print('known-region exact (int8):',
-          bool(np.array_equal(outs['int8'][known], ref[known])), flush=True)
+    for case, m in cases.items():
+        hole = m[..., 0] > 0
+        ref = outs[case]['fp32']
+        print(f'--- {case} hole ---', flush=True)
+        for name in ('bf16', 'int8', 'int8+spectral', 'int8+zeropad'):
+            d = outs[case][name][hole] - ref[hole]
+            psnr = 10 * np.log10(1.0 / max(np.mean(d ** 2), 1e-12))
+            print(f'{name} vs fp32: max|d|={np.abs(d).max():.4f} '
+                  f'mean|d|={np.abs(d).mean():.5f} PSNR={psnr:.1f} dB',
+                  flush=True)
+        known = ~hole
+        print('known-region exact (int8):',
+              bool(np.array_equal(outs[case]['int8'][known], ref[known])),
+              flush=True)
 
 
 if __name__ == '__main__':

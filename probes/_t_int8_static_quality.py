@@ -43,8 +43,15 @@ def synth(rng, s=256):
 
 
 def main():
-    model_dir = sys.argv[1] if len(sys.argv) > 1 else '/root/deploy_r4'
-    K = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    model_dir, K = '/root/deploy_r4', 4
+    for a in sys.argv[1:]:
+        k, _, v = a.partition('=')
+        if k == 'model_dir':
+            model_dir = v
+        elif k == 'K':
+            K = int(v)
+        else:
+            raise SystemExit(f'unknown arg {a!r} (model_dir=..., K=...)')
     N_EVAL = 24
 
     rng = np.random.RandomState(7)

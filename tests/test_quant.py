@@ -23,6 +23,7 @@ def _reset_int8_flag():
     quantized serving into later tests."""
     yield
     quant.INT8_SERVING = False
+    quant.ZERO_PAD_SERVING = False
 
 
 @pytest.mark.parametrize('padding_mode,stride,dilation,groups', [
@@ -97,6 +98,48 @@ def test_spectral_conv_never_quantizes(rng):
     finally:
         quant.INT8_SERVING = False
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_quant_zero_pad_serving(tmp_path, rng):
+    """quant_zero_pad=true (round-4 win, +3.1%): the quantized convs zero-pad
+    instead of reflect-gathering. Differences vs plain int8 concentrate at
+    feature-map borders; known pixels stay bit-exact; requires int8."""
+    from test_predict_cli import make_model_dir
+    from lama_tpu.data.io import load_image, save_image
+    import predict as predict_cli
+
+    model_dir = make_model_dir(tmp_path)
+    indir = tmp_path / 'in'
+    indir.mkdir()
+    img = rng.rand(64, 64, 3).astype(np.float32)
+    mask = np.zeros((64, 64, 1), np.float32)
+    mask[0:32, 0:32] = 1.0  # border-touching hole
+    save_image(str(indir / 'a.png'), img)
+    save_image(str(indir / 'a_mask.png'), mask)
+
+    outs = {}
+    for zp in ('false', 'true'):
+        outdir = tmp_path / f'out_zp{zp}'
+        predict_cli.main([f'model.path={model_dir}', f'indir={indir}',
+                          f'outdir={outdir}', 'device=cpu', 'precision=int8',
+                          f'quant_zero_pad={zp}'])
+        outs[zp] = load_image(str(outdir / 'a_mask.png'))
+    quant.INT8_SERVING = False
+    quant.ZERO_PAD_SERVING = False
+    known = mask[..., 0] == 0
+    orig = load_image(str(indir / 'a.png'))
+    # composite keeps known pixels regardless of padding semantics
+    np.testing.assert_array_equal(outs['true'][known], orig[known])
+    # stays close to the reflect-padded int8 serve on a tiny random model
+    diff = np.abs(outs['true'].astype(np.float32)
+                  - outs['false'].astype(np.float32))
+    assert diff.max() <= 0.25 * 255, diff.max()
+
+    # rejected outside int8
+    with pytest.raises(ValueError, match='quant_zero_pad'):
+        predict_cli.main([f'model.path={model_dir}', f'indir={indir}',
+                          f'outdir={tmp_path / "rej"}', 'device=cpu',
+                          'quant_zero_pad=true'])
 
 
 def test_spectral_int8_lever(rng):
