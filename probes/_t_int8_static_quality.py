@@ -69,7 +69,8 @@ def main():
     fn_sta = jax.jit(make_inpaint_forward(gen8))
 
     rows = []
-    for img, mask in eval_pairs:
+    for n, (img, mask) in enumerate(eval_pairs):
+        print(f'eval image {n + 1}/{N_EVAL}', flush=True)
         ib, mb = jnp.asarray(img[None]), jnp.asarray(mask[None])
         ref = np.asarray(fn32(v_fp32, ib, mb))[0]
         dyn = np.asarray(fn_dyn(v_int8, ib, mb))[0]
@@ -84,6 +85,9 @@ def main():
 
         rows.append((metrics(dyn), metrics(sta),
                      float(np.abs(sta[hole] - dyn[hole]).max())))
+        print(f'  dyn max|d|={rows[-1][0][0]:.2e} PSNR={rows[-1][0][1]:.1f}  '
+              f'sta max|d|={rows[-1][1][0]:.2e} PSNR={rows[-1][1][1]:.1f}  '
+              f'sta-dyn={rows[-1][2]:.2e}', flush=True)
     quant.INT8_SERVING = False
 
     dyn_max = max(r[0][0] for r in rows)
