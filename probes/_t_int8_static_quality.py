@@ -43,16 +43,18 @@ def synth(rng, s=256):
 
 
 def main():
-    model_dir, K = '/root/deploy_r4', 4
+    model_dir, K, n_eval = '/root/deploy_r4', 4, 24
     for a in sys.argv[1:]:
         k, _, v = a.partition('=')
         if k == 'model_dir':
             model_dir = v
         elif k == 'K':
             K = int(v)
+        elif k == 'N':
+            n_eval = int(v)
         else:
-            raise SystemExit(f'unknown arg {a!r} (model_dir=..., K=...)')
-    N_EVAL = 24
+            raise SystemExit(f'unknown arg {a!r} (model_dir=, K=, N=)')
+    N_EVAL = n_eval
 
     rng = np.random.RandomState(7)
     calib_pairs = [tuple(a[None] for a in synth(rng)) for _ in range(K)]
