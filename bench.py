@@ -2,8 +2,10 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Serving mode: int8 with calibrated static activation scales (the fastest
-shipped configuration, `bin/predict.py precision=int8 quant_calibration=K`):
+Serving mode: int8 with calibrated static activation scales, zero-padded
+quantized convs and bf16-stored spectral intermediates (the fastest shipped
+configuration, `bin/predict.py precision=int8 quant_calibration=K
+quant_zero_pad=true spectral_bf16_store=true`):
 eligible conv contractions run int8×int8→int32 on the MXU (ops/quant.py;
 spectral path and stem/out head stay bf16), and a HELD-OUT-batch calibration
 (round 4: different seed than the timed batch — the honest deployment
@@ -47,7 +49,7 @@ REPEATS = 4
 
 def main():
     from lama_tpu.models.ffc import FFCResNetGenerator
-    from lama_tpu.ops import quant
+    from lama_tpu.ops import quant, spectral
     from lama_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
     quant.INT8_SERVING = True  # trace-time flags, read while `chain` traces
@@ -56,6 +58,11 @@ def main():
     # trained weights at the bf16 path's own level on center AND border
     # holes (ops/quant.py::ZERO_PAD_SERVING doc; BASELINE.md round 4).
     quant.ZERO_PAD_SERVING = True
+    # bf16-stored DFT intermediates (round-4 WIN #2, +9.5%: the f32 spectral
+    # intermediates were 37% of the program's HBM writes — HLO audit in
+    # BASELINE.md). Quality gated with trained weights at the bf16 path's
+    # own level (ops/spectral.py::BF16_STORE doc carries the numbers).
+    spectral.BF16_STORE = True
 
     gen = FFCResNetGenerator(
         input_nc=4, output_nc=3, ngf=64, n_downsampling=3, n_blocks=18,
@@ -110,8 +117,9 @@ def main():
     img_per_s = BATCH / dt
 
     print(json.dumps({
-        'metric': (f'big-lama {SIZE}^2 inpainted images/sec/chip '
-                   f'(int8 serving, static scales + zero-pad, batch {BATCH})'),
+        'metric': (f'big-lama {SIZE}^2 inpainted images/sec/chip (int8 '
+                   f'serving, static scales + zero-pad + bf16 spectral '
+                   f'store, batch {BATCH})'),
         'value': round(img_per_s, 2),
         'unit': 'img/s/chip',
         'vs_baseline': round(img_per_s / A100_BASELINE_IMG_S, 2),

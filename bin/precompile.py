@@ -53,7 +53,8 @@ def main(argv):
     generator, variables, _ = load_serving_model(
         cfg.model.path, checkpoint=str(cfg.model.checkpoint),
         precision=cfg.get('precision', 'bf16'),
-        quant_zero_pad=bool(cfg.get('quant_zero_pad', False)))
+        quant_zero_pad=bool(cfg.get('quant_zero_pad', False)),
+        spectral_bf16_store=bool(cfg.get('spectral_bf16_store', False)))
     wire = str(cfg.get('wire', 'fp32'))
     _predict = make_inpaint_forward(
         generator, wire=wire, out_key=str(cfg.get('out_key', 'inpainted')))

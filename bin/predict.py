@@ -69,7 +69,9 @@ def main(argv):
     generator, variables, gen_kwargs = load_serving_model(
         model_path, checkpoint=str(predict_config.model.checkpoint),
         precision=predict_config.get('precision', 'bf16'),
-        quant_zero_pad=bool(predict_config.get('quant_zero_pad', False)))
+        quant_zero_pad=bool(predict_config.get('quant_zero_pad', False)),
+        spectral_bf16_store=bool(predict_config.get('spectral_bf16_store',
+                                                    False)))
 
     out_ext = predict_config.get('out_ext', '.png')
     modulo = predict_config.dataset.pad_out_to_modulo

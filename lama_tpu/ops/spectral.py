@@ -64,16 +64,38 @@ def _irdft_mats(n: int, norm: str) -> Tuple[np.ndarray, np.ndarray]:
     return cr, ci
 
 
+# Measured-quality serving lever (opt-in): store DFT-matmul OUTPUTS in bf16
+# instead of fp32. The spectral slice is HBM-bandwidth-bound (BASELINE.md
+# rounds 3-4: shape games are noise, the fused-Pallas kernel loses), and the
+# round-4 HLO audit showed the f32 DFT intermediates are 7.46 GB of the int8
+# program's 20.2 GB total HBM writes — ALL of its top-level f32 fusion
+# output. With bf16 operands every einsum here still ACCUMULATES in fp32 on
+# the MXU; the flag only changes what is rounded when the result lands in
+# HBM, halving that traffic class. MEASURED on v5e (512² b16, int8 headline
+# program, probes/_t_int8_profile.py bf16_store): 85.3 -> 77.9 ms/batch
+# (+9.5%, 205.3 img/s). Quality gated with TRAINED weights
+# (probes/_t_int8_quality.py): hole PSNR 85.5 dB vs fp32 on center AND
+# border holes — the bf16 path's own level (85.6-85.7); known pixels stay
+# bit-exact. Only takes effect when the operands are already bf16 (the
+# bench path); fp32 parity numerics are untouched. Serving plumbing:
+# `spectral_bf16_store=true` (bin/predict.py / bin/precompile.py /
+# serving.load_serving_model).
+BF16_STORE = False
+
+
 def _es(eq, a, b, dtype):
     """DFT matmul. dtype=bf16: native MXU pass (default precision). dtype=f32:
     Precision.HIGHEST — on TPU the default precision silently truncates fp32
     matmul operands to bf16, which would defeat the parity guarantee.
     CPU backend lacks bf16×bf16→f32 dots, so bf16 falls back to f32 there."""
-    if dtype == jnp.bfloat16 and jax.default_backend() == 'cpu':
-        dtype = jnp.float32
+    want_bf16 = dtype == jnp.bfloat16
+    if want_bf16 and jax.default_backend() == 'cpu':
+        dtype = jnp.float32  # CPU lacks bf16 dots; BF16_STORE still rounds
+        # the STORED result below so the quality gate is CPU-testable
     precision = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    out_dtype = jnp.bfloat16 if BF16_STORE and want_bf16 else jnp.float32
     return jnp.einsum(eq, a.astype(dtype), jnp.asarray(b).astype(dtype),
-                      preferred_element_type=jnp.float32, precision=precision)
+                      preferred_element_type=out_dtype, precision=precision)
 
 
 def rfft2_dft(x, norm: str = 'ortho', dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:

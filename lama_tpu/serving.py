@@ -19,7 +19,8 @@ from .training.convert import load_torch_checkpoint
 
 def load_serving_model(model_path: str, checkpoint: str = 'best',
                        precision: str = 'bf16',
-                       quant_zero_pad: bool = False) -> Tuple[object, dict, dict]:
+                       quant_zero_pad: bool = False,
+                       spectral_bf16_store: bool = False) -> Tuple[object, dict, dict]:
     """Build the generator from <model_path>/config.yaml and load weights from
     <model_path>/models/<checkpoint> (orbax dir or reference torch .ckpt).
     Returns (generator, variables, gen_kwargs).
@@ -27,7 +28,14 @@ def load_serving_model(model_path: str, checkpoint: str = 'best',
     `quant_zero_pad` (requires precision='int8'): zero-pad instead of
     reflect-gather inside the quantized convs — measured +3.1% on v5e with
     hole quality at the bf16 path's own level (ops/quant.py::ZERO_PAD_SERVING
-    doc carries the numbers)."""
+    doc carries the numbers).
+
+    `spectral_bf16_store` (requires bf16 or int8 precision): store the DFT
+    intermediates of the FFC spectral path in bf16 instead of fp32 — the
+    spectral slice is HBM-bound and its f32 intermediates are 37% of the
+    program's HBM writes (BASELINE.md round-4 HLO audit); measured +9.5%
+    on v5e (85.3 → 77.9 ms/batch on the int8 headline program), hole quality
+    gated with trained weights (ops/spectral.py::BF16_STORE)."""
     train_config = load_yaml(os.path.join(model_path, 'config.yaml'))
     resolve_interpolations(train_config)
     gen_kwargs = dict(train_config.generator)
@@ -37,13 +45,18 @@ def load_serving_model(model_path: str, checkpoint: str = 'best',
     # spectral stays fp32/bf16 per the repo invariant. Opt-in, serving-only.
     dtype = {'bf16': jnp.bfloat16, 'fp32': jnp.float32,
              'int8': jnp.bfloat16}[precision]
-    from .ops import quant
+    from .ops import quant, spectral
     if quant_zero_pad and precision != 'int8':
         raise ValueError('quant_zero_pad requires precision=int8 (it only '
                          'affects the quantized convs)')
+    if spectral_bf16_store and precision == 'fp32':
+        raise ValueError('spectral_bf16_store has no effect under '
+                         'precision=fp32 (the spectral operands are fp32); '
+                         'use bf16 or int8')
     quant.INT8_SERVING = (precision == 'int8')  # explicit both ways: a
     # later fp32/bf16 load in the same process must clear the mode
     quant.ZERO_PAD_SERVING = bool(quant_zero_pad)
+    spectral.BF16_STORE = bool(spectral_bf16_store)
     generator = make_generator(kind, dtype=dtype, **gen_kwargs)
 
     ckpt = os.path.join(model_path, 'models', str(checkpoint))

@@ -141,6 +141,38 @@ def main():
                     'spectral_int8', gen, variables, img, mask)
             finally:
                 ffc_mod.SPECTRAL_INT8 = False
+
+        if only is not None and ({'headline', 'bf16_store', 'headline_skip'}
+                                 & only):
+            # the shipped round-4 headline: int8 + STATIC calibrated scales +
+            # zero-padded quantized convs — the program bench.py times
+            from lama_tpu.serving import calibrate_int8
+            from lama_tpu.ops import spectral as spectral_mod
+            quant.ZERO_PAD_SERVING = True
+            try:
+                v_static = calibrate_int8(gen, variables,
+                                          [(np.asarray(img), np.asarray(mask))])
+                if 'headline' in only:
+                    results['headline'] = time_variant(
+                        'headline', gen, v_static, img, mask)
+                if 'headline_skip' in only:
+                    ffc_mod.SPECTRAL_SKIP = True
+                    try:
+                        results['headline_skip'] = time_variant(
+                            'headline_skip', gen, v_static, img, mask)
+                    finally:
+                        ffc_mod.SPECTRAL_SKIP = False
+                if 'bf16_store' in only:
+                    # measured-quality lever: bf16-stored DFT intermediates
+                    # (ops/spectral.py::BF16_STORE) on top of the headline
+                    spectral_mod.BF16_STORE = True
+                    try:
+                        results['bf16_store'] = time_variant(
+                            'bf16_store', gen, v_static, img, mask)
+                    finally:
+                        spectral_mod.BF16_STORE = False
+            finally:
+                quant.ZERO_PAD_SERVING = False
     finally:
         quant.INT8_SERVING = False
 

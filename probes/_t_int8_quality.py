@@ -52,17 +52,23 @@ def main():
         print(f'{precision}: done', flush=True)
         if precision == 'int8':
             from lama_tpu.models import ffc as ffc_mod
-            variants = (('int8+spectral', ffc_mod, 'SPECTRAL_INT8'),
-                        ('int8+zeropad', quant, 'ZERO_PAD_SERVING'))
-            for name, mod, attr in variants:
-                setattr(mod, attr, True)
+            from lama_tpu.ops import spectral as spectral_mod
+            variants = (('int8+spectral', [(ffc_mod, 'SPECTRAL_INT8')]),
+                        ('int8+zeropad', [(quant, 'ZERO_PAD_SERVING')]),
+                        ('int8+bf16store', [(spectral_mod, 'BF16_STORE')]),
+                        ('int8+zp+bf16store', [(quant, 'ZERO_PAD_SERVING'),
+                                               (spectral_mod, 'BF16_STORE')]))
+            for name, flags in variants:
+                for mod, attr in flags:
+                    setattr(mod, attr, True)
                 try:
                     fn2 = jax.jit(make_inpaint_forward(gen))
                     for case, m in cases.items():
                         outs[case][name] = np.asarray(
                             fn2(variables, img_b, jnp.asarray(m[None])))[0]
                 finally:
-                    setattr(mod, attr, False)
+                    for mod, attr in flags:
+                        setattr(mod, attr, False)
                 print(f'{name}: done', flush=True)
     quant.INT8_SERVING = False
 
@@ -70,7 +76,8 @@ def main():
         hole = m[..., 0] > 0
         ref = outs[case]['fp32']
         print(f'--- {case} hole ---', flush=True)
-        for name in ('bf16', 'int8', 'int8+spectral', 'int8+zeropad'):
+        for name in ('bf16', 'int8', 'int8+spectral', 'int8+zeropad',
+                     'int8+bf16store', 'int8+zp+bf16store'):
             d = outs[case][name][hole] - ref[hole]
             psnr = 10 * np.log10(1.0 / max(np.mean(d ** 2), 1e-12))
             print(f'{name} vs fp32: max|d|={np.abs(d).max():.4f} '

@@ -9,6 +9,11 @@ what a real deployment (calibrate once, serve forever) actually risks.
 Runs on CPU — identical quant code path as TPU.
 
 Run: python probes/_t_int8_static_quality.py [model_dir=/root/deploy_r4] [K=4]
+     [platform=cpu|axon] [N=24]
+platform=axon runs the three serving programs on the real chip with the
+eval suite BATCHED into one forward per mode (3 compiles + 3 transfers
+instead of 72 relay round trips) — the single-core CPU run needs >90 min,
+the chip run minutes.
 """
 import os
 import sys
@@ -17,7 +22,8 @@ import numpy as np
 
 os.environ.setdefault('LAMA_COMPILATION_CACHE', 'off')
 import jax  # noqa: E402
-jax.config.update('jax_platforms', 'cpu')
+if not any(a.startswith('platform=axon') for a in sys.argv[1:]):
+    jax.config.update('jax_platforms', 'cpu')
 import jax.numpy as jnp  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -52,31 +58,48 @@ def main():
             K = int(v)
         elif k == 'N':
             n_eval = int(v)
+        elif k == 'platform':
+            pass  # consumed at import time
         else:
-            raise SystemExit(f'unknown arg {a!r} (model_dir=, K=, N=)')
+            raise SystemExit(f'unknown arg {a!r} (model_dir=, K=, N=, platform=)')
     N_EVAL = n_eval
+    if jax.default_backend() != 'cpu':
+        from lama_tpu.utils import enable_compilation_cache
+        enable_compilation_cache()
 
     rng = np.random.RandomState(7)
     calib_pairs = [tuple(a[None] for a in synth(rng)) for _ in range(K)]
     eval_pairs = [synth(rng) for _ in range(N_EVAL)]  # disjoint draws
 
-    # fp32 reference
+    # Each mode is TRACED AND SERVED immediately after its load — the int8
+    # load flips module-level flags that a lazily-traced earlier jit would
+    # otherwise pick up (the fp32 "reference" would serve quantized).
+    imgs = jnp.asarray(np.stack([p[0] for p in eval_pairs]))
+    masks = jnp.asarray(np.stack([p[1] for p in eval_pairs]))
+    batched = jax.default_backend() != 'cpu'
+
+    def serve_suite(fn, variables):
+        if batched:  # chip: ONE forward for the whole suite
+            return np.asarray(fn(variables, imgs, masks))
+        return np.stack([np.asarray(fn(variables, imgs[n:n + 1],
+                                       masks[n:n + 1]))[0]
+                         for n in range(N_EVAL)])
+
     gen, v_fp32, _ = load_serving_model(model_dir, 'best', precision='fp32')
-    fn32 = jax.jit(make_inpaint_forward(gen))
+    print('serving fp32 reference...', flush=True)
+    refs = serve_suite(jax.jit(make_inpaint_forward(gen)), v_fp32)
 
     gen8, v_int8, _ = load_serving_model(model_dir, 'best', precision='int8')
-    fn_dyn = jax.jit(make_inpaint_forward(gen8))
+    print('serving dynamic int8...', flush=True)
+    dyns = serve_suite(jax.jit(make_inpaint_forward(gen8)), v_int8)
     v_static = calibrate_int8(gen8, v_int8, calib_pairs)
     assert 'quant_stats' in v_static, 'no eligible convs?'
-    fn_sta = jax.jit(make_inpaint_forward(gen8))
+    print('serving static int8...', flush=True)
+    stas = serve_suite(jax.jit(make_inpaint_forward(gen8)), v_static)
 
     rows = []
     for n, (img, mask) in enumerate(eval_pairs):
-        print(f'eval image {n + 1}/{N_EVAL}', flush=True)
-        ib, mb = jnp.asarray(img[None]), jnp.asarray(mask[None])
-        ref = np.asarray(fn32(v_fp32, ib, mb))[0]
-        dyn = np.asarray(fn_dyn(v_int8, ib, mb))[0]
-        sta = np.asarray(fn_sta(v_static, ib, mb))[0]
+        ref, dyn, sta = refs[n], dyns[n], stas[n]
         hole = mask[..., 0] > 0
 
         def metrics(out):

@@ -119,6 +119,16 @@ def main():
             lambda st, b, k: (lambda s, m: (s, m['gen_total']))(*step(st, b, k)))
 
     run('full', with_pl=True)
+    if only is not None and 'full_bf16store' in only:
+        # measured-quality candidate: bf16-stored spectral DFT intermediates
+        # in the TRAIN step (forward and backward einsums both store bf16) —
+        # the serving win (+9.5%, BASELINE.md round 4) applied to training
+        from lama_tpu.ops import spectral as spectral_mod
+        spectral_mod.BF16_STORE = True
+        try:
+            run('full_bf16store', with_pl=True)
+        finally:
+            spectral_mod.BF16_STORE = False
     run('base')
     run('no_r1', no_r1=True)
     run('no_fm', fm_weight=0.0)
