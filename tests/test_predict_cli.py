@@ -260,3 +260,41 @@ def test_predict_cli_refine_with_spatial_shards(tmp_path, rng):
     b = load_image(str(out_sharded / 'scene_mask.png'))
     assert a.shape == b.shape
     np.testing.assert_allclose(b, a, atol=2 / 255)
+
+
+def test_predict_cli_spectral_bf16_store(tmp_path, rng):
+    """spectral_bf16_store=true (the round-4 +9.5% serving lever): CLI runs
+    end to end, known region preserved, hole output close to the plain int8
+    serve; the flag clears on the next plain load."""
+    from lama_tpu.ops import spectral
+    model_dir = make_model_dir(tmp_path)
+    indir = tmp_path / 'data'
+    indir.mkdir()
+    img = rng.rand(64, 64, 3).astype(np.float32)
+    mask = np.zeros((64, 64, 1), np.float32)
+    mask[16:40, 16:40] = 1.0
+    save_image(str(indir / 'a.png'), img)
+    save_image(str(indir / 'a_mask.png'), mask)
+
+    import predict as predict_cli
+    outs = {}
+    for tag, extra in (('plain', []),
+                       ('bf16store', ['spectral_bf16_store=true'])):
+        outdir = tmp_path / f'out_{tag}'
+        predict_cli.main([f'model.path={model_dir}', f'indir={indir}',
+                          f'outdir={outdir}', 'dataset.img_suffix=.png',
+                          'precision=int8'] + extra)
+        outs[tag] = load_image(str(outdir / 'a_mask.png'))
+    assert spectral.BF16_STORE is True  # set by the bf16store run (last)
+    from lama_tpu.serving import load_serving_model  # a plain load clears it
+    load_serving_model(str(model_dir), 'best', precision='bf16')
+    assert spectral.BF16_STORE is False
+    from lama_tpu.ops import quant
+    quant.INT8_SERVING = False
+
+    known = mask[..., 0] == 0
+    np.testing.assert_allclose(outs['bf16store'][known], img[known],
+                               atol=2 / 255)
+    # bf16 store drift vs the plain int8 serve stays small on a tiny model
+    assert np.abs(outs['bf16store'].astype(np.float32)
+                  - outs['plain'].astype(np.float32)).max() < 0.1
