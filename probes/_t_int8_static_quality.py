@@ -58,10 +58,11 @@ def main():
             K = int(v)
         elif k == 'N':
             n_eval = int(v)
-        elif k == 'platform':
-            pass  # consumed at import time
+        elif k in ('platform', 'headline'):
+            pass  # platform consumed at import time; headline read in main
         else:
-            raise SystemExit(f'unknown arg {a!r} (model_dir=, K=, N=, platform=)')
+            raise SystemExit(f'unknown arg {a!r} '
+                             '(model_dir=, K=, N=, platform=, headline=)')
     N_EVAL = n_eval
     if jax.default_backend() != 'cpu':
         from lama_tpu.utils import enable_compilation_cache
@@ -97,6 +98,20 @@ def main():
     print('serving static int8...', flush=True)
     stas = serve_suite(jax.jit(make_inpaint_forward(gen8)), v_static)
 
+    heads = None
+    if any(a == 'headline=true' for a in sys.argv[1:]):
+        # the full bench.py headline mode (static + zero-pad + bf16 spectral
+        # store) — on the chip this validates the bf16-store lever under the
+        # REAL TPU numerics (bf16 matmul operands), which the CPU gate in
+        # _t_int8_quality.py can only approximate (f32 operands, bf16 stores)
+        gen_h, v_h, _ = load_serving_model(model_dir, 'best',
+                                           precision='int8',
+                                           quant_zero_pad=True,
+                                           spectral_bf16_store=True)
+        v_h = calibrate_int8(gen_h, v_h, calib_pairs)
+        print('serving headline (static+zeropad+bf16store)...', flush=True)
+        heads = serve_suite(jax.jit(make_inpaint_forward(gen_h)), v_h)
+
     rows = []
     for n, (img, mask) in enumerate(eval_pairs):
         ref, dyn, sta = refs[n], dyns[n], stas[n]
@@ -108,11 +123,14 @@ def main():
             return float(d.max()), (10 * np.log10(1.0 / mse) if mse > 0
                                     else float('inf'))
 
+        h_metrics = metrics(heads[n]) if heads is not None else (0.0, 0.0)
         rows.append((metrics(dyn), metrics(sta),
-                     float(np.abs(sta[hole] - dyn[hole]).max())))
+                     float(np.abs(sta[hole] - dyn[hole]).max()), h_metrics))
+        extra = (f'  headline max|d|={h_metrics[0]:.2e} '
+                 f'PSNR={h_metrics[1]:.1f}' if heads is not None else '')
         print(f'  dyn max|d|={rows[-1][0][0]:.2e} PSNR={rows[-1][0][1]:.1f}  '
               f'sta max|d|={rows[-1][1][0]:.2e} PSNR={rows[-1][1][1]:.1f}  '
-              f'sta-dyn={rows[-1][2]:.2e}', flush=True)
+              f'sta-dyn={rows[-1][2]:.2e}{extra}', flush=True)
     quant.INT8_SERVING = False
 
     dyn_max = max(r[0][0] for r in rows)
@@ -125,6 +143,11 @@ def main():
     print(f'  dynamic int8 : max|d|={dyn_max:.2e}  worst PSNR={dyn_psnr:.1f} dB')
     print(f'  static  int8 : max|d|={sta_max:.2e}  worst PSNR={sta_psnr:.1f} dB')
     print(f'  static vs dynamic max|d| = {cross:.2e}')
+    if heads is not None:
+        h_max = max(r[3][0] for r in rows)
+        h_psnr = min(r[3][1] for r in rows)
+        print(f'  headline (static+zeropad+bf16store): max|d|={h_max:.2e}  '
+              f'worst PSNR={h_psnr:.1f} dB')
 
 
 if __name__ == '__main__':

@@ -298,3 +298,37 @@ def test_predict_cli_spectral_bf16_store(tmp_path, rng):
     # bf16 store drift vs the plain int8 serve stays small on a tiny model
     assert np.abs(outs['bf16store'].astype(np.float32)
                   - outs['plain'].astype(np.float32)).max() < 0.1
+
+
+def test_predict_cli_uint8_wire_composes_with_int8_headline(tmp_path, rng):
+    """The full deployment stack composed: wire=uint8 + precision=int8 +
+    quant_zero_pad + quant_calibration + spectral_bf16_store. The wire is a
+    transfer format — outputs must stay BIT-EQUAL to the fp32 wire under the
+    SAME serving mode (8-bit-sourced un-resized inputs)."""
+    import subprocess
+    make_model_dir(tmp_path)
+    indir = tmp_path / 'in'
+    indir.mkdir()
+    img = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    mask = np.zeros((64, 64), np.uint8)
+    mask[20:40, 24:48] = 255
+    save_image(str(indir / 'img_mask001.png'), mask[..., None] / 255.0)
+    save_image(str(indir / 'img.png'), img / 255.0)
+
+    env = dict(os.environ, JAX_PLATFORMS='cpu')
+    mode = ['precision=int8', 'quant_zero_pad=true', 'quant_calibration=1',
+            'spectral_bf16_store=true']
+    outs = {}
+    for wire in ('fp32', 'uint8'):
+        outdir = tmp_path / f'out_{wire}'
+        res = subprocess.run(
+            [sys.executable, os.path.join(REPO, 'bin', 'predict.py'),
+             f'model.path={tmp_path / "model"}', f'indir={indir}',
+             f'outdir={outdir}', 'device=cpu', f'wire={wire}'] + mode,
+            capture_output=True, text=True, env=env, cwd=REPO, timeout=600)
+        assert res.returncode == 0, res.stderr[-2000:]
+        outs[wire] = np.asarray(load_image(str(outdir / 'img_mask001.png')))
+    np.testing.assert_array_equal(outs['fp32'], outs['uint8'])
+    known = mask == 0
+    np.testing.assert_allclose(outs['uint8'][known], (img / 255.0)[known],
+                               atol=2 / 255)
