@@ -20,7 +20,8 @@ from .training.convert import load_torch_checkpoint
 def load_serving_model(model_path: str, checkpoint: str = 'best',
                        precision: str = 'bf16',
                        quant_zero_pad: bool = False,
-                       spectral_bf16_store: bool = False) -> Tuple[object, dict, dict]:
+                       spectral_bf16_store: bool = False,
+                       s2d_out_head: bool = False) -> Tuple[object, dict, dict]:
     """Build the generator from <model_path>/config.yaml and load weights from
     <model_path>/models/<checkpoint> (orbax dir or reference torch .ckpt).
     Returns (generator, variables, gen_kwargs).
@@ -35,7 +36,13 @@ def load_serving_model(model_path: str, checkpoint: str = 'best',
     spectral slice is HBM-bound and its f32 intermediates are 37% of the
     program's HBM writes (BASELINE.md round-4 HLO audit); measured +9.5%
     on v5e (85.3 → 77.9 ms/batch on the int8 headline program), hole quality
-    gated with trained weights (ops/spectral.py::BF16_STORE)."""
+    gated with trained weights (ops/spectral.py::BF16_STORE).
+
+    `s2d_out_head`: space-to-depth transform on the thin-output 7×7 head
+    only (the conv is MXU-lane-padding-bound: 3 output channels pad to 128
+    lanes). EXACT semantics (ops/s2d_conv.py, parity-tested vs torch);
+    measured +2.4% on the round-4 headline program (78.0 → 76.2 ms/batch —
+    the bf16-era in-graph negative inverted under the int8 program)."""
     train_config = load_yaml(os.path.join(model_path, 'config.yaml'))
     resolve_interpolations(train_config)
     gen_kwargs = dict(train_config.generator)
@@ -57,6 +64,10 @@ def load_serving_model(model_path: str, checkpoint: str = 'best',
     # later fp32/bf16 load in the same process must clear the mode
     quant.ZERO_PAD_SERVING = bool(quant_zero_pad)
     spectral.BF16_STORE = bool(spectral_bf16_store)
+    from .ops import conv as conv_mod
+    from .ops import s2d_conv
+    conv_mod.USE_S2D_CONV = bool(s2d_out_head)
+    s2d_conv.OUT_HEAD_ONLY = bool(s2d_out_head)
     generator = make_generator(kind, dtype=dtype, **gen_kwargs)
 
     ckpt = os.path.join(model_path, 'models', str(checkpoint))

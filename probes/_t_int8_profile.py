@@ -173,6 +173,36 @@ def main():
                         spectral_mod.BF16_STORE = False
             finally:
                 quant.ZERO_PAD_SERVING = False
+
+        if only is not None and 's2d_out' in only:
+            # re-measure of the round-2 in-graph NEGATIVE under the ROUND-4
+            # program (int8 + static + zero-pad + bf16 store): s2d transform
+            # on the OUT HEAD ONLY (isolated win was 23.0 -> 17.7 ms; the
+            # bf16-era in-graph composition lost to fusion breaks — but
+            # zero-pad proved signs can flip when the program changes)
+            from lama_tpu.serving import calibrate_int8
+            from lama_tpu.ops import spectral as spectral_mod
+            from lama_tpu.ops import s2d_conv as s2d_mod
+            orig_factor = s2d_mod.s2d_factor_for
+            quant.ZERO_PAD_SERVING = True
+            spectral_mod.BF16_STORE = True
+            conv_mod.USE_S2D_CONV = True
+            s2d_mod.s2d_factor_for = (
+                lambda h, w, c, c_out, k, s:
+                8 if (k == 7 and s == 1 and c_out <= 8 and h >= 256
+                      and h % 16 == 0 and w % 16 == 0) else None)
+            # conv.py resolved s2d_factor_for at import time? no — it
+            # imports inside the branch per call, so the patch takes effect
+            try:
+                v_static = calibrate_int8(gen, variables,
+                                          [(np.asarray(img), np.asarray(mask))])
+                results['s2d_out'] = time_variant(
+                    's2d_out', gen, v_static, img, mask)
+            finally:
+                s2d_mod.s2d_factor_for = orig_factor
+                conv_mod.USE_S2D_CONV = False
+                spectral_mod.BF16_STORE = False
+                quant.ZERO_PAD_SERVING = False
     finally:
         quant.INT8_SERVING = False
 

@@ -415,3 +415,43 @@ def test_int8_serving_path_end_to_end(tmp_path, rng):
     hole_diff = np.abs(outs['int8'][0][~known] - outs['fp32'][0][~known])
     assert hole_diff.max() < 0.15, hole_diff.max()
     assert hole_diff.mean() < 0.02, hole_diff.mean()
+
+
+def test_headline_mode_composes_with_spatial_shards(tmp_path, rng):
+    """The full bench headline mode (int8 + static scales + zero-pad +
+    bf16 spectral store) under spatial_shards: the H-sharded DFT einsums
+    contract over the sharded axis (GSPMD partial sums + psum before the
+    bf16 store), so outputs must match the unsharded serve to write-out
+    precision."""
+    from test_predict_cli import make_model_dir
+    from lama_tpu.data.io import load_image, save_image
+    from lama_tpu.ops import quant, spectral
+    import predict as predict_cli
+
+    model_dir = make_model_dir(tmp_path)
+    indir = tmp_path / 'in'
+    indir.mkdir()
+    img = rng.rand(64, 64, 3).astype(np.float32)
+    mask = np.zeros((64, 64, 1), np.float32)
+    mask[16:40, 16:40] = 1.0
+    save_image(str(indir / 'a.png'), img)
+    save_image(str(indir / 'a_mask.png'), mask)
+
+    outs = {}
+    for shards in (0, 2):
+        outdir = tmp_path / f'out_s{shards}'
+        predict_cli.main([f'model.path={model_dir}', f'indir={indir}',
+                          f'outdir={outdir}', 'device=cpu', 'precision=int8',
+                          'quant_zero_pad=true', 'quant_calibration=1',
+                          'spectral_bf16_store=true',
+                          f'spatial_shards={shards}'])
+        outs[shards] = load_image(str(outdir / 'a_mask.png'))
+    quant.INT8_SERVING = False
+    quant.ZERO_PAD_SERVING = False
+    spectral.BF16_STORE = False
+    known = mask[..., 0] == 0
+    np.testing.assert_array_equal(outs[0][known], outs[2][known])
+    # hole: bf16 stores round AFTER the psum of H-sharded DFT partial sums,
+    # whose f32 accumulation order differs from the unsharded contraction —
+    # allow write-out-precision drift, require no visible difference
+    np.testing.assert_allclose(outs[2], outs[0], atol=2 / 255)
