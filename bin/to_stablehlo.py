@@ -43,6 +43,8 @@ def main(argv):
                       'outdir': None, 'height': 512, 'width': 512,
                       'device': 'tpu', 'precision': 'fp32',
                       'quant_zero_pad': False,
+                      'spectral_bf16_store': False,
+                      's2d_out_head': False,
                       'calibration_indir': None,
                       'calibration_img_suffix': '.png'})
     for k, v in parse_overrides(argv).items():
@@ -56,7 +58,9 @@ def main(argv):
     generator, variables, _ = load_serving_model(
         cfg.model.path, checkpoint=str(cfg.model.checkpoint),
         precision=str(cfg.precision),
-        quant_zero_pad=bool(cfg.get('quant_zero_pad', False)))
+        quant_zero_pad=bool(cfg.get('quant_zero_pad', False)),
+        spectral_bf16_store=bool(cfg.get('spectral_bf16_store', False)),
+        s2d_out_head=bool(cfg.get('s2d_out_head', False)))
     variables = jax.tree.map(jnp.asarray, variables)
 
     calib_dir = cfg.get('calibration_indir')

@@ -6,7 +6,12 @@ int8 shrinks conv time but NOT activation residency (activations stay bf16),
 so the prior is that b16 stays the peak; this measures it.
 
 Run: PYTHONPATH=/root/repo timeout 3000 python -u probes/_t_int8_batch.py
+     [headline]
+`headline` re-sweeps under the FULL round-4 mode (static scales + zero-pad
++ bf16 spectral store + s2d out head) — every win shifted the
+compute/bandwidth mix, so the bf16-era b16 peak gets one re-check.
 """
+import sys
 import time
 
 import numpy as np
@@ -24,6 +29,14 @@ BATCHES = (8, 16, 24)
 def main():
     enable_compilation_cache()
     quant.INT8_SERVING = True
+    headline = len(sys.argv) > 1 and sys.argv[1] == 'headline'
+    if headline:
+        from lama_tpu.ops import conv as conv_mod
+        from lama_tpu.ops import s2d_conv, spectral
+        quant.ZERO_PAD_SERVING = True
+        spectral.BF16_STORE = True
+        conv_mod.USE_S2D_CONV = True
+        s2d_conv.OUT_HEAD_ONLY = True
     gen = FFCResNetGenerator(
         input_nc=4, output_nc=3, ngf=64, n_downsampling=3, n_blocks=18,
         add_out_act='sigmoid', dtype=jnp.bfloat16,
@@ -49,6 +62,13 @@ def main():
         img = jnp.asarray(rng.rand(batch, SIZE, SIZE, 3).astype(np.float32))
         mask = jnp.zeros((batch, SIZE, SIZE, 1), jnp.float32)
         mask = mask.at[:, SIZE // 4: SIZE // 2, SIZE // 4: SIZE // 2, :].set(1.0)
+        if headline:  # static scales, calibrated per batch shape (scalars
+            # only — the compiled program matches bench.py's)
+            from lama_tpu.serving import calibrate_int8
+            variables = calibrate_int8(
+                gen, {'params': variables['params'],
+                      'batch_stats': variables['batch_stats']},
+                [(np.asarray(img), np.asarray(mask))])
         fn = jax.jit(chain)
         t0 = time.perf_counter()
         np.asarray(fn(variables, img, mask))

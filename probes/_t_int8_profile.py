@@ -174,6 +174,28 @@ def main():
             finally:
                 quant.ZERO_PAD_SERVING = False
 
+        if only is not None and 's2d_stem' in only:
+            # one re-measure of the stem a=2 s2d case under the round-4
+            # program (bf16-era in-graph: 114.8 vs 129.6 = big negative;
+            # the out-head case inverted, the stem case gets one look too).
+            # OUT_HEAD_ONLY stays False and the down convs are quantized
+            # (never reach the s2d dispatch), so USE_S2D_CONV here fires on
+            # stem AND out head; compare against s2d_out to isolate the stem.
+            from lama_tpu.serving import calibrate_int8
+            from lama_tpu.ops import spectral as spectral_mod
+            quant.ZERO_PAD_SERVING = True
+            spectral_mod.BF16_STORE = True
+            conv_mod.USE_S2D_CONV = True
+            try:
+                v_static = calibrate_int8(gen, variables,
+                                          [(np.asarray(img), np.asarray(mask))])
+                results['s2d_stem'] = time_variant(
+                    's2d_stem', gen, v_static, img, mask)
+            finally:
+                conv_mod.USE_S2D_CONV = False
+                spectral_mod.BF16_STORE = False
+                quant.ZERO_PAD_SERVING = False
+
         if only is not None and 's2d_out' in only:
             # re-measure of the round-2 in-graph NEGATIVE under the ROUND-4
             # program (int8 + static + zero-pad + bf16 store): s2d transform
