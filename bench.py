@@ -50,31 +50,29 @@ REPEATS = 4
 
 def main():
     from lama_tpu.models.ffc import FFCResNetGenerator
-    from lama_tpu.ops import quant, spectral
+    from lama_tpu.ops.serving_mode import ServingMode
     from lama_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
-    quant.INT8_SERVING = True  # trace-time flags, read while `chain` traces
-    # zero-pad the quantized convs (round-4 WIN, +3.1%: the int8-domain
-    # reflect gather becomes a conv-fused zero pad). Quality gated with
-    # trained weights at the bf16 path's own level on center AND border
-    # holes (ops/quant.py::ZERO_PAD_SERVING doc; BASELINE.md round 4).
-    quant.ZERO_PAD_SERVING = True
-    # bf16-stored DFT intermediates (round-4 WIN #2, +9.5%: the f32 spectral
-    # intermediates were 37% of the program's HBM writes — HLO audit in
-    # BASELINE.md). Quality gated with trained weights at the bf16 path's
-    # own level (ops/spectral.py::BF16_STORE doc carries the numbers).
-    spectral.BF16_STORE = True
-    # s2d transform on the thin-output 7x7 head (round-4 WIN #3, +2.4%:
-    # 3 output channels pad to 128 MXU lanes; EXACT semantics, parity-tested
-    # — ops/s2d_conv.py::OUT_HEAD_ONLY doc carries the numbers).
-    from lama_tpu.ops import conv as conv_mod
-    from lama_tpu.ops import s2d_conv
-    conv_mod.USE_S2D_CONV = True
-    s2d_conv.OUT_HEAD_ONLY = True
+    # The full headline serving configuration as ONE static module attribute
+    # (ops/serving_mode.py — replaces the round-4 process-global flags):
+    # - int8: eligible conv contractions on the int8 MXU path (+21%, r3)
+    # - zero_pad: the int8-domain reflect gather becomes a conv-fused zero
+    #   pad (round-4 WIN, +3.1%). Quality gated with trained weights at the
+    #   bf16 path's own level on center AND border holes (ops/quant.py
+    #   zero-pad doc; BASELINE.md round 4).
+    # - spectral_bf16_store: bf16-stored DFT intermediates (round-4 WIN #2,
+    #   +9.5%: the f32 spectral intermediates were 37% of the program's HBM
+    #   writes — HLO audit in BASELINE.md). Quality gated same protocol
+    #   (ops/spectral.py store_bf16 doc).
+    # - s2d='out_head': s2d transform on the thin-output 7x7 head (round-4
+    #   WIN #3, +2.4%: 3 output channels pad to 128 MXU lanes; EXACT
+    #   semantics, parity-tested — ops/s2d_conv.py doc).
+    mode = ServingMode(int8=True, zero_pad=True, spectral_bf16_store=True,
+                       s2d='out_head')
 
     gen = FFCResNetGenerator(
         input_nc=4, output_nc=3, ngf=64, n_downsampling=3, n_blocks=18,
-        add_out_act='sigmoid', dtype=jnp.bfloat16,
+        add_out_act='sigmoid', dtype=jnp.bfloat16, mode=mode,
         init_conv_kwargs=dict(ratio_gin=0, ratio_gout=0, enable_lfu=False),
         downsample_conv_kwargs=dict(ratio_gin=0, ratio_gout=0, enable_lfu=False),
         resnet_conv_kwargs=dict(ratio_gin=0.75, ratio_gout=0.75, enable_lfu=False))

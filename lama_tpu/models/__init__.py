@@ -11,8 +11,13 @@ from .pix2pixhd_extra import (ConfigGlobalGenerator,
 LOGGER = logging.getLogger(__name__)
 
 
-def make_generator(kind, **kwargs):
+def make_generator(kind, serving_mode=None, **kwargs):
+    """serving_mode: optional ops.serving_mode.ServingMode — static serving
+    configuration (int8/zero-pad/bf16-store/s2d) attached to the module tree;
+    None = the all-off default (training and reference-numerics paths)."""
     LOGGER.info(f'Make generator {kind}')
+    if serving_mode is not None:
+        kwargs['mode'] = serving_mode
     if kind == 'pix2pixhd_multidilated':
         return MultiDilatedGlobalGenerator(**kwargs)
     if kind == 'pix2pixhd_global':

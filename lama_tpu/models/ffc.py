@@ -33,6 +33,7 @@ from ..ops.conv import Conv2d, ConvTranspose2d, avg_pool2d
 from ..ops.conv import conv2d as fconv2d
 from ..ops.geometry import rotate
 from ..ops.norm import BatchNorm, PermutedBatchNorm
+from ..ops.serving_mode import DEFAULT as DEFAULT_MODE, ServingMode
 from ..ops.pad import pad2d, reflection_pad2d
 from ..ops.resize import interpolate
 
@@ -66,7 +67,7 @@ SPECTRAL_FOLD_BN = False
 # Never wire into a product path.
 SPECTRAL_SKIP = False
 
-# Round-4 measured-quality lever: when INT8_SERVING is on, run the
+# Round-4 measured-quality lever: when serving int8 (ServingMode.int8), run the
 # frequency-domain 1×1 conv through the int8 MXU path (per-tensor dynamic
 # activation scale over the frequency tensor, per-output-channel weight
 # scales). The spectrum is DC-dominated, so the per-tensor scale costs
@@ -107,6 +108,7 @@ class FFCSE_block(nn.Module):
     separate gate projections back to each stream (reference ffc.py:16-46)."""
     channels: int
     ratio_g: float
+    mode: ServingMode = DEFAULT_MODE
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -120,12 +122,14 @@ class FFCSE_block(nn.Module):
         joined = id_l if id_g is None else jnp.concatenate([id_l, id_g], axis=-1)
         y = jnp.mean(joined, axis=(1, 2), keepdims=True)
         y = Conv2d(self.channels // r, kernel_size=1, name='conv1',
-                   dtype=self.dtype)(y)
+                   mode=self.mode, dtype=self.dtype)(y)
         y = jax.nn.relu(y)
         x_l = None if in_cl == 0 else id_l * jax.nn.sigmoid(
-            Conv2d(in_cl, kernel_size=1, name='conv_a2l', dtype=self.dtype)(y))
+            Conv2d(in_cl, kernel_size=1, name='conv_a2l', mode=self.mode,
+                   dtype=self.dtype)(y))
         x_g = None if in_cg == 0 else id_g * jax.nn.sigmoid(
-            Conv2d(in_cg, kernel_size=1, name='conv_a2g', dtype=self.dtype)(y))
+            Conv2d(in_cg, kernel_size=1, name='conv_a2g', mode=self.mode,
+                   dtype=self.dtype)(y))
         return x_l, x_g
 
 
@@ -153,6 +157,7 @@ class FourierUnit(nn.Module):
     # bf16 compute -> bf16 spectral (full-rate MXU), otherwise fp32 with
     # Precision.HIGHEST (exact parity vs jnp.fft)
     spectral_dtype: Optional[Dtype] = None
+    mode: ServingMode = DEFAULT_MODE
     bn_axis_name: Optional[str] = None
     dtype: Optional[Dtype] = None
 
@@ -204,7 +209,9 @@ class FourierUnit(nn.Module):
         else:
             dft = self.use_dft_matmul if self.use_dft_matmul is not None else use_dft_for(h, w)
             if dft:
-                f_re, f_im = rfft2_dft(x, norm=self.fft_norm, dtype=self._spectral_dtype())
+                f_re, f_im = rfft2_dft(x, norm=self.fft_norm,
+                                       dtype=self._spectral_dtype(),
+                                       store_bf16=self.mode.spectral_bf16_store)
             else:
                 fft = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2), norm=self.fft_norm)
                 f_re, f_im = fft.real, fft.imag
@@ -237,7 +244,7 @@ class FourierUnit(nn.Module):
                 y = y.astype(jnp.float32) + shift[None, None, None, :]
             else:
                 from ..ops import quant as _quant
-                if SPECTRAL_INT8 and _quant.INT8_SERVING and not train:
+                if SPECTRAL_INT8 and self.mode.int8 and not train:
                     # measured-quality lever (flag doc above): int8 MXU conv
                     # over the frequency tensor — halves the conv's HBM reads
                     # on the HBM-bound spectral slice (BASELINE.md round 3)
@@ -257,7 +264,8 @@ class FourierUnit(nn.Module):
                     y, use_running_average=not train)
             y = jax.nn.relu(y)
             out = irfft2_dft(y[..., :cout], y[..., cout:], s=(h, w),
-                             norm=self.fft_norm, dtype=cdt)
+                             norm=self.fft_norm, dtype=cdt,
+                             store_bf16=self.mode.spectral_bf16_store)
             if self.spatial_scale_factor is not None:
                 out = interpolate(out, size=orig_size,
                                   mode=self.spatial_scale_mode,
@@ -293,7 +301,8 @@ class FourierUnit(nn.Module):
                                  norm=self.fft_norm)
         elif dft:
             out = irfft2_dft(y[..., 0], y[..., 1], s=(h, w), norm=self.fft_norm,
-                             dtype=self._spectral_dtype())
+                             dtype=self._spectral_dtype(),
+                             store_bf16=self.mode.spectral_bf16_store)
         else:
             fft_out = jax.lax.complex(y[..., 0], y[..., 1])
             out = jnp.fft.irfft2(fft_out, s=(h, w), axes=(1, 2), norm=self.fft_norm)
@@ -310,6 +319,7 @@ class SpectralTransform(nn.Module):
     stride: int = 1
     groups: int = 1
     enable_lfu: bool = True
+    mode: ServingMode = DEFAULT_MODE
     bn_axis_name: Optional[str] = None
     dtype: Optional[Dtype] = None
     fu_kwargs: Optional[dict] = None
@@ -320,13 +330,13 @@ class SpectralTransform(nn.Module):
             x = avg_pool2d(x, 2, 2)
         half = self.features // 2
         x = Conv2d(half, kernel_size=1, groups=self.groups, use_bias=False,
-                   name='conv1_0', dtype=self.dtype)(x)
+                   name='conv1_0', mode=self.mode, dtype=self.dtype)(x)
         x = BatchNorm(name='conv1_1', axis_name=self.bn_axis_name)(x, use_running_average=not train)
         x = jax.nn.relu(x)
 
         fu_kwargs = dict(self.fu_kwargs or {})
         output = FourierUnit(half, groups=self.groups, name='fu',
-                             bn_axis_name=self.bn_axis_name,
+                             mode=self.mode, bn_axis_name=self.bn_axis_name,
                              dtype=self.dtype, **fu_kwargs)(x, train=train)
 
         if self.enable_lfu:
@@ -336,14 +346,14 @@ class SpectralTransform(nn.Module):
             xs = jnp.concatenate(jnp.split(x[..., :c // 4], 2, axis=1), axis=-1)
             xs = jnp.concatenate(jnp.split(xs, 2, axis=2), axis=-1)
             xs = FourierUnit(half, groups=self.groups, name='lfu',
-                             bn_axis_name=self.bn_axis_name,
+                             mode=self.mode, bn_axis_name=self.bn_axis_name,
                              dtype=self.dtype)(xs, train=train)
             xs = jnp.tile(xs, (1, 2, 2, 1))
         else:
             xs = 0
 
         out = Conv2d(self.features, kernel_size=1, groups=self.groups, use_bias=False,
-                     name='conv2', dtype=self.dtype)(x + output + xs)
+                     name='conv2', mode=self.mode, dtype=self.dtype)(x + output + xs)
         return out
 
 
@@ -362,6 +372,7 @@ class FFC(nn.Module):
     enable_lfu: bool = True
     padding_type: str = 'reflect'
     gated: bool = False
+    mode: ServingMode = DEFAULT_MODE
     bn_axis_name: Optional[str] = None
     dtype: Optional[Dtype] = None
     spectral_kwargs: Optional[dict] = None
@@ -381,7 +392,8 @@ class FFC(nn.Module):
         conv_kw = dict(kernel_size=self.kernel_size, stride=self.stride,
                        padding=self.padding, dilation=self.dilation,
                        groups=self.groups, use_bias=self.use_bias,
-                       padding_mode=self.padding_type, dtype=self.dtype)
+                       padding_mode=self.padding_type, mode=self.mode,
+                       dtype=self.dtype)
 
         if self.gated:
             parts = [x_l] if x_l is not None else []
@@ -389,6 +401,7 @@ class FFC(nn.Module):
                 parts.append(x_g)
             total_input = jnp.concatenate(parts, axis=-1)
             gates = jax.nn.sigmoid(Conv2d(2, kernel_size=1, name='gate',
+                                          mode=self.mode,
                                           dtype=self.dtype)(total_input))
             g2l_gate, l2g_gate = gates[..., 0:1], gates[..., 1:2]
         else:
@@ -438,7 +451,8 @@ class FFC(nn.Module):
                     out_cg, stride=self.stride,
                     groups=1 if self.groups == 1 else self.groups // 2,
                     enable_lfu=self.enable_lfu, name='convg2g',
-                    bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+                    mode=self.mode, bn_axis_name=self.bn_axis_name,
+                    dtype=self.dtype,
                     fu_kwargs=self.spectral_kwargs)(x_g, train=train)
                 acc = term if acc is None else acc + term
             out_xg = acc
@@ -462,6 +476,7 @@ class FFC_BN_ACT(nn.Module):
     padding_type: str = 'reflect'
     enable_lfu: bool = True
     gated: bool = False
+    mode: ServingMode = DEFAULT_MODE
     bn_axis_name: Optional[str] = None
     dtype: Optional[Dtype] = None
     spectral_kwargs: Optional[dict] = None
@@ -474,7 +489,8 @@ class FFC_BN_ACT(nn.Module):
                        padding=self.padding, dilation=self.dilation,
                        groups=self.groups, use_bias=self.use_bias,
                        enable_lfu=self.enable_lfu, padding_type=self.padding_type,
-                       gated=self.gated, name='ffc', bn_axis_name=self.bn_axis_name,
+                       gated=self.gated, name='ffc', mode=self.mode,
+                       bn_axis_name=self.bn_axis_name,
                        dtype=self.dtype, spectral_kwargs=self.spectral_kwargs)(x, train=train)
         if x_l is not None:
             x_l = BatchNorm(name='bn_l', axis_name=self.bn_axis_name)(x_l, use_running_average=not train)
@@ -532,6 +548,7 @@ class FFCResnetBlock(nn.Module):
     enable_lfu: bool = True
     inline: bool = False
     spatial_transform_kwargs: Optional[dict] = None
+    mode: ServingMode = DEFAULT_MODE
     bn_axis_name: Optional[str] = None
     dtype: Optional[Dtype] = None
     spectral_kwargs: Optional[dict] = None
@@ -549,7 +566,8 @@ class FFCResnetBlock(nn.Module):
                        padding=self.dilation, dilation=self.dilation,
                        ratio_gin=self.ratio_gin, ratio_gout=self.ratio_gout,
                        activation=self.activation, padding_type=self.padding_type,
-                       enable_lfu=self.enable_lfu, bn_axis_name=self.bn_axis_name,
+                       enable_lfu=self.enable_lfu, mode=self.mode,
+                       bn_axis_name=self.bn_axis_name,
                        dtype=self.dtype, spectral_kwargs=self.spectral_kwargs)
         conv1 = FFC_BN_ACT(name='conv1', **conv_kw)
         conv2 = FFC_BN_ACT(name='conv2', **conv_kw)
@@ -606,6 +624,10 @@ class FFCResNetGenerator(nn.Module):
     out_ffc: bool = False
     out_ffc_kwargs: Optional[dict] = None
     spectral_kwargs: Optional[dict] = None  # forwarded to every FourierUnit
+    # static serving configuration (ops/serving_mode.py), threaded to every
+    # conv / spectral op in the tree — replaces the round-4 process-global
+    # serving flags (VERDICT r4 weak #5)
+    mode: ServingMode = DEFAULT_MODE
     bn_axis_name: Optional[str] = None
     dtype: Optional[Dtype] = None
 
@@ -620,8 +642,8 @@ class FFCResNetGenerator(nn.Module):
         init_kw = dict(self.init_conv_kwargs or {})
         down_kw = dict(self.downsample_conv_kwargs or {})
         resnet_kw = dict(self.resnet_conv_kwargs or {})
-        common = dict(bn_axis_name=self.bn_axis_name, dtype=self.dtype,
-                      spectral_kwargs=self.spectral_kwargs)
+        common = dict(mode=self.mode, bn_axis_name=self.bn_axis_name,
+                      dtype=self.dtype, spectral_kwargs=self.spectral_kwargs)
 
         idx = 2
         if stage in ('full', 'front'):
@@ -683,7 +705,8 @@ class FFCResNetGenerator(nn.Module):
             mult = 2 ** (self.n_downsampling - i)
             x = ConvTranspose2d(min(self.max_features, int(self.ngf * mult / 2)),
                                 kernel_size=3, stride=2, padding=1, output_padding=1,
-                                name=f'model_{idx}', dtype=self.dtype)(x)
+                                name=f'model_{idx}', mode=self.mode,
+                                dtype=self.dtype)(x)
             x = BatchNorm(name=f'model_{idx + 1}',
                           axis_name=self.bn_axis_name)(x, use_running_average=not train)
             x = up_act(x)
@@ -702,7 +725,7 @@ class FFCResNetGenerator(nn.Module):
         # --- final ReflectionPad(3) + 7×7 conv (+ out activation), pad folded
         idx += 1
         x = Conv2d(self.output_nc, kernel_size=7, padding=3, padding_mode='reflect',
-                   name=f'model_{idx}', dtype=self.dtype)(x)
+                   name=f'model_{idx}', mode=self.mode, dtype=self.dtype)(x)
         if self.add_out_act:
             out_act = get_activation('tanh' if self.add_out_act is True else self.add_out_act)
             x = out_act(x.astype(jnp.float32))

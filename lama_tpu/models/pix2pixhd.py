@@ -28,6 +28,7 @@ from ..ops.activations import get_activation
 from ..ops.conv import Conv2d, ConvTranspose2d
 from ..ops.norm import BatchNorm
 from ..ops.pad import pad2d, reflection_pad2d
+from ..ops.serving_mode import DEFAULT as DEFAULT_MODE, ServingMode
 from .ffc import FFCResnetBlock
 
 Dtype = Any
@@ -41,6 +42,7 @@ class DepthWiseSeparableConv(nn.Module):
     padding: int = 0
     dilation: int = 1
     padding_mode: str = 'zeros'
+    mode: ServingMode = DEFAULT_MODE
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -48,8 +50,10 @@ class DepthWiseSeparableConv(nn.Module):
         in_dim = x.shape[-1]
         x = Conv2d(in_dim, kernel_size=self.kernel_size, stride=self.stride,
                    padding=self.padding, dilation=self.dilation, groups=in_dim,
-                   padding_mode=self.padding_mode, name='depthwise', dtype=self.dtype)(x)
-        x = Conv2d(self.features, kernel_size=1, name='pointwise', dtype=self.dtype)(x)
+                   padding_mode=self.padding_mode, name='depthwise',
+                   mode=self.mode, dtype=self.dtype)(x)
+        x = Conv2d(self.features, kernel_size=1, name='pointwise',
+                   mode=self.mode, dtype=self.dtype)(x)
         return x
 
 
@@ -67,6 +71,7 @@ class MultidilatedConv(nn.Module):
     use_depthwise: bool = False
     padding_mode: str = 'zeros'
     shuffle_in_channels: bool = False
+    mode: ServingMode = DEFAULT_MODE
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -123,7 +128,8 @@ class MultidilatedConv(nn.Module):
             outs.append(conv_cls(out_dims[i], kernel_size=self.kernel_size,
                                  stride=self.stride, padding=cur_padding,
                                  dilation=dilation, padding_mode=self.padding_mode,
-                                 name=f'convs_{i}', dtype=self.dtype)(inputs[i]))
+                                 name=f'convs_{i}', mode=self.mode,
+                                 dtype=self.dtype)(inputs[i]))
             dilation *= 2
 
         if cat_out:
@@ -145,6 +151,7 @@ class ResnetBlock(nn.Module):
     in_dim: Optional[int] = None
     groups: int = 1
     kernel_size: int = 3
+    mode: ServingMode = DEFAULT_MODE
     dtype: Optional[Dtype] = None
     bn_axis_name: Optional[str] = None
 
@@ -163,10 +170,10 @@ class ResnetBlock(nn.Module):
                 return DepthWiseSeparableConv(features, kernel_size=self.kernel_size,
                                               padding=p, dilation=dilation,
                                               padding_mode=pad_mode, name=name,
-                                              dtype=self.dtype)(t)
+                                              mode=self.mode, dtype=self.dtype)(t)
             return Conv2d(features, kernel_size=self.kernel_size, padding=p,
                           dilation=dilation, groups=groups, padding_mode=pad_mode,
-                          name=name, dtype=self.dtype)(t)
+                          name=name, mode=self.mode, dtype=self.dtype)(t)
 
         x_before = x
         h = conv_padded(self.dim, self.dilation, 1, 'conv_block_1', x_before)
@@ -176,7 +183,8 @@ class ResnetBlock(nn.Module):
         h = BatchNorm(name='conv_block_6', axis_name=self.bn_axis_name)(h, use_running_average=not train)
 
         if self.in_dim is not None:
-            x = Conv2d(self.dim, kernel_size=1, name='input_conv', dtype=self.dtype)(x)
+            x = Conv2d(self.dim, kernel_size=1, name='input_conv',
+                       mode=self.mode, dtype=self.dtype)(x)
         return x + h
 
 
@@ -186,6 +194,7 @@ class MultidilatedResnetBlock(nn.Module):
     padding_type: str = 'reflect'
     activation: Any = 'relu'
     multidilation_kwargs: Optional[dict] = None
+    mode: ServingMode = DEFAULT_MODE
     dtype: Optional[Dtype] = None
     bn_axis_name: Optional[str] = None
 
@@ -194,11 +203,13 @@ class MultidilatedResnetBlock(nn.Module):
         act = get_activation(self.activation)
         md_kwargs = dict(self.multidilation_kwargs or {})
         h = MultidilatedConv(self.dim, kernel_size=3, padding_mode=self.padding_type,
-                             name='conv_block_0', dtype=self.dtype, **md_kwargs)(x)
+                             name='conv_block_0', mode=self.mode,
+                             dtype=self.dtype, **md_kwargs)(x)
         h = BatchNorm(name='conv_block_1', axis_name=self.bn_axis_name)(h, use_running_average=not train)
         h = act(h)
         h = MultidilatedConv(self.dim, kernel_size=3, padding_mode=self.padding_type,
-                             name='conv_block_3', dtype=self.dtype, **md_kwargs)(h)
+                             name='conv_block_3', mode=self.mode,
+                             dtype=self.dtype, **md_kwargs)(h)
         h = BatchNorm(name='conv_block_4', axis_name=self.bn_axis_name)(h, use_running_average=not train)
         return x + h
 
@@ -225,6 +236,7 @@ class GlobalGenerator(nn.Module):
     ffc_kwargs: Optional[dict] = None
     dilation: int = 1
     second_dilation: Optional[int] = None
+    mode: ServingMode = DEFAULT_MODE
     dtype: Optional[Dtype] = None
     bn_axis_name: Optional[str] = None
 
@@ -235,11 +247,12 @@ class GlobalGenerator(nn.Module):
         assert x.shape[-1] == self.input_nc, (x.shape, self.input_nc)
         act = get_activation(self.activation)
         up_act = get_activation(self.up_activation)
-        common = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        common = dict(mode=self.mode, dtype=self.dtype,
+                      bn_axis_name=self.bn_axis_name)
 
         # indices: 0 pad, 1 conv, 2 bn, 3 act
         x = Conv2d(self.ngf, kernel_size=7, padding=3, padding_mode='reflect',
-                   name='model_1', dtype=self.dtype)(x)
+                   name='model_1', mode=self.mode, dtype=self.dtype)(x)
         x = BatchNorm(name='model_2', axis_name=self.bn_axis_name)(x, use_running_average=not train)
         x = act(x)
         idx = 4
@@ -247,7 +260,8 @@ class GlobalGenerator(nn.Module):
         for i in range(self.n_downsampling):
             mult = 2 ** i
             x = Conv2d(min(self.max_features, self.ngf * mult * 2), kernel_size=3,
-                       stride=2, padding=1, name=f'model_{idx}', dtype=self.dtype)(x)
+                       stride=2, padding=1, name=f'model_{idx}',
+                       mode=self.mode, dtype=self.dtype)(x)
             x = BatchNorm(name=f'model_{idx + 1}',
                           axis_name=self.bn_axis_name)(x, use_running_average=not train)
             x = act(x)
@@ -296,7 +310,8 @@ class GlobalGenerator(nn.Module):
             mult = 2 ** (self.n_downsampling - i)
             x = ConvTranspose2d(min(self.max_features, int(self.ngf * mult / 2)),
                                 kernel_size=3, stride=2, padding=1, output_padding=1,
-                                name=f'model_{idx}', dtype=self.dtype)(x)
+                                name=f'model_{idx}', mode=self.mode,
+                                dtype=self.dtype)(x)
             x = BatchNorm(name=f'model_{idx + 1}',
                           axis_name=self.bn_axis_name)(x, use_running_average=not train)
             x = up_act(x)
@@ -304,7 +319,7 @@ class GlobalGenerator(nn.Module):
 
         idx += 1
         x = Conv2d(self.output_nc, kernel_size=7, padding=3, padding_mode='reflect',
-                   name=f'model_{idx}', dtype=self.dtype)(x)
+                   name=f'model_{idx}', mode=self.mode, dtype=self.dtype)(x)
         if self.add_out_act:
             out_act = get_activation('tanh' if self.add_out_act is True else self.add_out_act)
             x = out_act(x.astype(jnp.float32))
@@ -326,6 +341,7 @@ class MultiDilatedGlobalGenerator(nn.Module):
     multidilation_kwargs: Optional[dict] = None
     ffc_positions: Optional[Sequence[int]] = None
     ffc_kwargs: Optional[dict] = None
+    mode: ServingMode = DEFAULT_MODE
     dtype: Optional[Dtype] = None
     bn_axis_name: Optional[str] = None
 
@@ -333,10 +349,11 @@ class MultiDilatedGlobalGenerator(nn.Module):
     def __call__(self, x, train: bool = False):
         act = get_activation(self.activation)
         up_act = get_activation(self.up_activation)
-        common = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        common = dict(mode=self.mode, dtype=self.dtype,
+                      bn_axis_name=self.bn_axis_name)
 
         x = Conv2d(self.ngf, kernel_size=7, padding=3, padding_mode='reflect',
-                   name='model_1', dtype=self.dtype)(x)
+                   name='model_1', mode=self.mode, dtype=self.dtype)(x)
         x = BatchNorm(name='model_2', axis_name=self.bn_axis_name)(x, use_running_average=not train)
         x = act(x)
         idx = 4
@@ -344,7 +361,8 @@ class MultiDilatedGlobalGenerator(nn.Module):
         for i in range(self.n_downsampling):
             mult = 2 ** i
             x = Conv2d(min(self.max_features, self.ngf * mult * 2), kernel_size=3,
-                       stride=2, padding=1, name=f'model_{idx}', dtype=self.dtype)(x)
+                       stride=2, padding=1, name=f'model_{idx}',
+                       mode=self.mode, dtype=self.dtype)(x)
             x = BatchNorm(name=f'model_{idx + 1}',
                           axis_name=self.bn_axis_name)(x, use_running_average=not train)
             x = act(x)
@@ -373,7 +391,8 @@ class MultiDilatedGlobalGenerator(nn.Module):
             mult = 2 ** (self.n_downsampling - i)
             x = ConvTranspose2d(min(self.max_features, int(self.ngf * mult / 2)),
                                 kernel_size=3, stride=2, padding=1, output_padding=1,
-                                name=f'model_{idx}', dtype=self.dtype)(x)
+                                name=f'model_{idx}', mode=self.mode,
+                                dtype=self.dtype)(x)
             x = BatchNorm(name=f'model_{idx + 1}',
                           axis_name=self.bn_axis_name)(x, use_running_average=not train)
             x = up_act(x)
@@ -381,7 +400,7 @@ class MultiDilatedGlobalGenerator(nn.Module):
 
         idx += 1
         x = Conv2d(self.output_nc, kernel_size=7, padding=3, padding_mode='reflect',
-                   name=f'model_{idx}', dtype=self.dtype)(x)
+                   name=f'model_{idx}', mode=self.mode, dtype=self.dtype)(x)
         if self.add_out_act:
             out_act = get_activation('tanh' if self.add_out_act is True else self.add_out_act)
             x = out_act(x.astype(jnp.float32))

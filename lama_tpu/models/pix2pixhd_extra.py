@@ -14,6 +14,7 @@ from ..ops.activations import get_activation
 from ..ops.conv import Conv2d, ConvTranspose2d
 from ..ops.norm import BatchNorm
 from ..ops.pad import reflection_pad2d
+from ..ops.serving_mode import DEFAULT as DEFAULT_MODE, ServingMode
 from ..ops.resize import interpolate
 from .pix2pixhd import (DepthWiseSeparableConv, MultidilatedResnetBlock,
                         NLayerDiscriminator, ResnetBlock)
@@ -31,13 +32,14 @@ class GatedConv2d(nn.Module):
     kernel_size: int = 3
     stride: int = 1
     padding: int = 0
+    mode: ServingMode = DEFAULT_MODE
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x):
         h = Conv2d(2 * self.features, kernel_size=self.kernel_size,
                    stride=self.stride, padding=self.padding, name='conv',
-                   dtype=self.dtype)(x)
+                   mode=self.mode, dtype=self.dtype)(x)
         feat, gate = jnp.split(h, 2, axis=-1)
         return feat * jax.nn.sigmoid(gate)
 
@@ -64,6 +66,7 @@ class ConfigGlobalGenerator(nn.Module):
     resnet_conv_kind: str = 'multidilated'
     resnet_dilation: int = 1
     multidilation_kwargs: Optional[dict] = None
+    mode: ServingMode = DEFAULT_MODE
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -73,14 +76,15 @@ class ConfigGlobalGenerator(nn.Module):
 
         x = reflection_pad2d(x, 3)
         x = Conv2d(self.ngf, kernel_size=7, padding=0, name='model_1',
-                   dtype=self.dtype)(x)
+                   mode=self.mode, dtype=self.dtype)(x)
         x = BatchNorm(name='model_2')(x, use_running_average=not train)
         x = act(x)
         idx = 4
         for i in range(self.n_downsampling):
             mult = 2 ** i
             x = Conv2d(min(self.max_features, self.ngf * mult * 2), kernel_size=3,
-                       stride=2, padding=1, name=f'model_{idx}', dtype=self.dtype)(x)
+                       stride=2, padding=1, name=f'model_{idx}',
+                       mode=self.mode, dtype=self.dtype)(x)
             x = BatchNorm(name=f'model_{idx + 1}')(x, use_running_average=not train)
             x = act(x)
             idx += 3
@@ -107,21 +111,24 @@ class ConfigGlobalGenerator(nn.Module):
                         feats, padding_type=self.padding_type,
                         activation=self.activation,
                         multidilation_kwargs=md_kwargs,
-                        name=f'model_{idx}', dtype=self.dtype)(x, train=train)
+                        name=f'model_{idx}', mode=self.mode,
+                        dtype=self.dtype)(x, train=train)
                 elif block_kind == 'resnetblock':
                     x = ResnetBlock(self.ngf * mult, padding_type=self.padding_type,
                                     activation=self.activation, conv_kind=conv_kind,
-                                    name=f'model_{idx}', dtype=self.dtype)(x, train=train)
+                                    name=f'model_{idx}', mode=self.mode,
+                                    dtype=self.dtype)(x, train=train)
                 elif block_kind == 'resnetblock5x5':
                     x = ResnetBlock(self.ngf * mult, padding_type=self.padding_type,
                                     activation=self.activation, conv_kind=conv_kind,
                                     kernel_size=5, name=f'model_{idx}',
-                                    dtype=self.dtype)(x, train=train)
+                                    mode=self.mode, dtype=self.dtype)(x, train=train)
                 elif block_kind == 'resnetblockdwdil':
                     x = ResnetBlock(self.ngf * mult, padding_type=self.padding_type,
                                     activation=self.activation, conv_kind=conv_kind,
                                     dilation=dilation, second_dilation=dilation,
-                                    name=f'model_{idx}', dtype=self.dtype)(x, train=train)
+                                    name=f'model_{idx}', mode=self.mode,
+                                    dtype=self.dtype)(x, train=train)
                 else:
                     raise ValueError(f'Unknown resnet block kind {block_kind}')
                 idx += 1
@@ -132,7 +139,7 @@ class ConfigGlobalGenerator(nn.Module):
             if self.deconv_kind == 'convtranspose':
                 x = ConvTranspose2d(out_ch, kernel_size=3, stride=2, padding=1,
                                     output_padding=1, name=f'model_{idx}',
-                                    dtype=self.dtype)(x)
+                                    mode=self.mode, dtype=self.dtype)(x)
                 x = BatchNorm(name=f'model_{idx + 1}')(x, use_running_average=not train)
                 x = up_act(x)
                 idx += 3
@@ -143,7 +150,7 @@ class ConfigGlobalGenerator(nn.Module):
                 idx += 1
                 x = DepthWiseSeparableConv(out_ch, kernel_size=3, stride=1,
                                            padding=1, name=f'model_{idx}',
-                                           dtype=self.dtype)(x)
+                                           mode=self.mode, dtype=self.dtype)(x)
                 x = BatchNorm(name=f'model_{idx + 1}')(x, use_running_average=not train)
                 x = up_act(x)
                 idx += 3
@@ -153,7 +160,7 @@ class ConfigGlobalGenerator(nn.Module):
         x = reflection_pad2d(x, 3)
         idx += 1
         x = Conv2d(self.output_nc, kernel_size=7, padding=0, name=f'model_{idx}',
-                   dtype=self.dtype)(x)
+                   mode=self.mode, dtype=self.dtype)(x)
         if self.add_out_act:
             out_act = get_activation('tanh' if self.add_out_act is True else self.add_out_act)
             x = out_act(x.astype(jnp.float32))
@@ -203,6 +210,7 @@ class GlobalGeneratorFromSuperChannels(nn.Module):
     super_channels: Sequence[int] = (64, 64, 64, 64, 64, 64)
     padding_type: str = 'reflect'
     add_out_act: Any = True
+    mode: ServingMode = DEFAULT_MODE
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -213,13 +221,13 @@ class GlobalGeneratorFromSuperChannels(nn.Module):
 
         x = reflection_pad2d(x, 3)
         x = Conv2d(channels[0], kernel_size=7, padding=0, name='model_1',
-                   dtype=self.dtype)(x)
+                   mode=self.mode, dtype=self.dtype)(x)
         x = BatchNorm(name='model_2')(x, use_running_average=not train)
         x = jax.nn.relu(x)
         idx = 4
         for i in range(nd):
             x = Conv2d(channels[1 + i], kernel_size=3, stride=2, padding=1,
-                       name=f'model_{idx}', dtype=self.dtype)(x)
+                       name=f'model_{idx}', mode=self.mode, dtype=self.dtype)(x)
             x = BatchNorm(name=f'model_{idx + 1}')(x, use_running_average=not train)
             x = jax.nn.relu(x)
             idx += 3
@@ -234,13 +242,14 @@ class GlobalGeneratorFromSuperChannels(nn.Module):
             for block_i in range(n_blocks):
                 x = ResnetBlock(dim, padding_type=self.padding_type,
                                 in_dim=in_dim if block_i == 0 else None,
-                                name=f'model_{idx}', dtype=self.dtype)(x, train=train)
+                                name=f'model_{idx}', mode=self.mode,
+                                dtype=self.dtype)(x, train=train)
                 idx += 1
 
         for i in range(nd):
             x = ConvTranspose2d(channels[nd + 3 + i + 1], kernel_size=3, stride=2,
                                 padding=1, output_padding=1, name=f'model_{idx}',
-                                dtype=self.dtype)(x)
+                                mode=self.mode, dtype=self.dtype)(x)
             x = BatchNorm(name=f'model_{idx + 1}')(x, use_running_average=not train)
             x = jax.nn.relu(x)
             idx += 3
@@ -248,7 +257,7 @@ class GlobalGeneratorFromSuperChannels(nn.Module):
         x = reflection_pad2d(x, 3)
         idx += 1
         x = Conv2d(self.output_nc, kernel_size=7, padding=0, name=f'model_{idx}',
-                   dtype=self.dtype)(x)
+                   mode=self.mode, dtype=self.dtype)(x)
         if self.add_out_act:
             out_act = get_activation('tanh' if self.add_out_act is True else self.add_out_act)
             x = out_act(x.astype(jnp.float32))
@@ -261,6 +270,8 @@ class NLayerDiscriminatorAsGen(nn.Module):
     input_nc: int = 3
     ndf: int = 64
     n_layers: int = 3
+    mode: ServingMode = DEFAULT_MODE  # accepted for factory uniformity; the
+    # discriminator body serves unquantized (thin 4x4 patch convs)
     dtype: Optional[Dtype] = None
 
     @nn.compact

@@ -19,16 +19,18 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .pad import pad2d
+from .serving_mode import DEFAULT as DEFAULT_MODE, ServingMode
 
 Dtype = Any
 
 # space-to-depth conv transform (ops/s2d_conv.py) for thin-channel reflect
-# convs. MEASURED NEGATIVE RESULT in-graph (v5e, round 2): isolated wins
-# (stem 7.0->4.4ms, out head 23.0->17.7ms) INVERT inside the full big-lama
-# graph (129.3 -> 114.8 img/s stem-only, 127.8 out-only, 118.3 down1-only;
-# 112.1 all three) — the s2d reshuffles break XLA's producer fusion. Default
-# OFF; kept for serving shapes where the conv stands alone.
-USE_S2D_CONV = False
+# convs: the `s2d` argument of conv2d ('out_head' | 'all' | None), threaded
+# from ServingMode.s2d. The FULL table ('all') is a MEASURED NEGATIVE
+# in-graph (v5e, round 2): isolated wins (stem 7.0->4.4ms, out head
+# 23.0->17.7ms) INVERT inside the full big-lama graph (129.3 -> 114.8 img/s
+# stem-only, 127.8 out-only, 118.3 down1-only; 112.1 all three) — the s2d
+# reshuffles break XLA's producer fusion. 'out_head' is the shipped round-4
+# win under the int8 headline program (+2.4%, ops/s2d_conv.py doc).
 
 # reflect conv via zero-pad-structured graph + concat border reassembly
 # (_conv2d_reflect_border_concat) for inputs with H >= this threshold;
@@ -196,8 +198,11 @@ def _conv2d_reflect_border_concat(x, kernel, stride, padding, dilation, groups):
 
 
 def conv2d(x, kernel, bias=None, stride=1, padding=0, dilation=1, groups=1,
-           padding_mode='zeros'):
-    """Functional 2-D convolution, NHWC input, HWIO kernel, torch semantics."""
+           padding_mode='zeros', s2d: Optional[str] = None):
+    """Functional 2-D convolution, NHWC input, HWIO kernel, torch semantics.
+
+    s2d: space-to-depth dispatch policy (None | 'out_head' | 'all') — see
+    the module doc above and ops/s2d_conv.py."""
     stride = _pair(stride)
     dilation = _pair(dilation)
     padding = _pair(padding) if not (isinstance(padding, (tuple, list)) and
@@ -215,7 +220,7 @@ def conv2d(x, kernel, bias=None, stride=1, padding=0, dilation=1, groups=1,
         if bias is not None:
             out = out + bias.reshape(1, 1, 1, -1).astype(out.dtype)
         return out
-    if (USE_S2D_CONV and padding_mode == 'reflect' and groups == 1
+    if (s2d is not None and padding_mode == 'reflect' and groups == 1
             and dilation == (1, 1) and stride[0] == stride[1]
             and kernel.shape[0] == kernel.shape[1]
             and padding[0] == padding[1]
@@ -223,7 +228,8 @@ def conv2d(x, kernel, bias=None, stride=1, padding=0, dilation=1, groups=1,
             and jax.default_backend() not in ('cpu',)):
         from .s2d_conv import conv2d_reflect_s2d, s2d_factor_for
         a = s2d_factor_for(x.shape[1], x.shape[2], x.shape[3], kernel.shape[3],
-                           kernel.shape[0], stride[0])
+                           kernel.shape[0], stride[0],
+                           out_head_only=(s2d == 'out_head'))
         if a is not None and x.shape[1] % a == 0 and x.shape[2] % a == 0:
             return conv2d_reflect_s2d(x, kernel, bias=bias, stride=stride[0],
                                       a=a)
@@ -339,14 +345,13 @@ def adaptive_avg_pool2d(x, output_size=(1, 1)):
 def _quant_act_amax(module, x):
     """Static-vs-dynamic activation scale plumbing for the int8 serving path.
 
-    Calibration (quant.CALIBRATING, apply with mutable=['quant_stats']):
+    Calibration (module.mode.calibrating, apply with mutable=['quant_stats']):
     sow this call's input amax into the 'quant_stats' collection, reduced
     with max across calls sharing the module (e.g. scan iterations).
     Serving with a calibrated collection merged into the variables: return
     the stored scalar (no per-call reduction). Otherwise: None -> the
     quantized conv computes its dynamic amax."""
-    from . import quant
-    if quant.CALIBRATING:
+    if module.mode.calibrating:
         amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
         module.sow('quant_stats', 'act_amax', amax,
                    reduce_fn=jnp.maximum,
@@ -376,6 +381,10 @@ class Conv2d(nn.Module):
     # whose inputs are quantization-hostile (e.g. the FourierUnit's
     # frequency-domain 1x1 conv — DC-dominated dynamic range)
     quantize: bool = True
+    # static serving configuration (int8 / zero-pad / s2d), threaded from
+    # the generator (ops/serving_mode.py) — part of the module's trace
+    # identity, so differently-configured models coexist in one process
+    mode: ServingMode = DEFAULT_MODE
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
 
@@ -396,9 +405,9 @@ class Conv2d(nn.Module):
         bias = self.param('bias', kaiming, (self.features,), self.param_dtype) if self.use_bias else None
         dtype = self.dtype or x.dtype
         from . import quant
-        if (quant.INT8_SERVING and self.quantize
+        if (self.mode.int8 and self.quantize
                 and quant.conv_eligible(in_features, self.features,
-                                        self.groups, kh, kw)):
+                                        self.groups, kh, kw, self.mode)):
             # opt-in int8 serving path (precision=int8): int8 MXU contraction
             # with per-channel weight scales and a dynamic activation scale —
             # or a calibrated STATIC one when a 'quant_stats' collection is
@@ -409,11 +418,12 @@ class Conv2d(nn.Module):
                 x, kernel, bias=bias, stride=self.stride, padding=self.padding,
                 dilation=self.dilation, groups=self.groups,
                 padding_mode=self.padding_mode, out_dtype=dtype,
-                act_amax=amax)
+                act_amax=amax, zero_pad=self.mode.zero_pad)
         out = conv2d(x.astype(dtype), kernel.astype(dtype),
                      bias=None if bias is None else bias,
                      stride=self.stride, padding=self.padding, dilation=self.dilation,
-                     groups=self.groups, padding_mode=self.padding_mode)
+                     groups=self.groups, padding_mode=self.padding_mode,
+                     s2d=None if self.mode.s2d == 'off' else self.mode.s2d)
         return out
 
 
@@ -426,6 +436,7 @@ class ConvTranspose2d(nn.Module):
     padding: Union[int, Tuple[int, int]] = 1
     output_padding: Union[int, Tuple[int, int]] = 1
     use_bias: bool = True
+    mode: ServingMode = DEFAULT_MODE
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
 
@@ -446,8 +457,8 @@ class ConvTranspose2d(nn.Module):
         bias = self.param('bias', kaiming, (self.features,), self.param_dtype) if self.use_bias else None
         dtype = self.dtype or x.dtype
         from . import quant
-        if quant.INT8_SERVING and quant.conv_eligible(in_features,
-                                                      self.features, 1, kh, kw):
+        if self.mode.int8 and quant.conv_eligible(in_features, self.features,
+                                                  1, kh, kw, self.mode):
             # opt-in int8 serving path — rear upsampling contractions are as
             # deep as the bottleneck convs (512->256) at larger spatial sizes
             amax = _quant_act_amax(self, x)

@@ -108,18 +108,19 @@ def conv2d_reflect_s2d(x, kernel, bias=None, stride: int = 1, a: int = 2,
     return out
 
 
-# Serving option `s2d_out_head=true`: restrict the s2d dispatch to the
-# thin-OUTPUT head only. The bf16-era in-graph measurement of the full
-# table was NEGATIVE (fusion breaks, BASELINE.md round 2), but under the
-# round-4 int8+static+zero-pad+bf16-store program the out-head-only case
-# RE-MEASURED as a win: 78.0 -> 76.2 ms/batch (+2.4%, 209.9 img/s,
-# back-to-back one-process side-by-side, probes/_t_int8_profile.py
-# s2d_out). Exact semantics (reflect-pad + conv algebra, parity-tested vs
-# torch in tests/test_s2d_conv.py) — no quality gate needed.
-OUT_HEAD_ONLY = False
+# Serving option `s2d_out_head=true` (ServingMode.s2d='out_head'): restrict
+# the s2d dispatch to the thin-OUTPUT head only. The bf16-era in-graph
+# measurement of the full table was NEGATIVE (fusion breaks, BASELINE.md
+# round 2), but under the round-4 int8+static+zero-pad+bf16-store program
+# the out-head-only case RE-MEASURED as a win: 78.0 -> 76.2 ms/batch
+# (+2.4%, 209.9 img/s, back-to-back one-process side-by-side,
+# probes/_t_int8_profile.py s2d_out). Exact semantics (reflect-pad + conv
+# algebra, parity-tested vs torch in tests/test_s2d_conv.py) — no quality
+# gate needed.
 
 
-def s2d_factor_for(h: int, w: int, c: int, c_out: int, k: int, s: int):
+def s2d_factor_for(h: int, w: int, c: int, c_out: int, k: int, s: int,
+                   out_head_only: bool = False):
     """Per-shape s2d factor from v5e measurements (BASELINE.md round 2):
     stem-like 7x7 thin-input convs win at a=2 (7.0 -> 4.4 ms isolated),
     head-like 7x7 thin-output convs at a=8 (23.0 -> 17.7 isolated; the s2d
@@ -127,7 +128,7 @@ def s2d_factor_for(h: int, w: int, c: int, c_out: int, k: int, s: int):
     None = plain conv is at least as good for this shape."""
     if s not in (1, 2) or h < 256 or h % 16 or w % 16:
         return None
-    if OUT_HEAD_ONLY:
+    if out_head_only:
         return 8 if (k == 7 and s == 1 and c_out <= 8) else None
     if k == 7 and s == 1 and c <= 8:
         return 2

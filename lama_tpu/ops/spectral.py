@@ -64,7 +64,8 @@ def _irdft_mats(n: int, norm: str) -> Tuple[np.ndarray, np.ndarray]:
     return cr, ci
 
 
-# Measured-quality serving lever (opt-in): store DFT-matmul OUTPUTS in bf16
+# Measured-quality serving lever (`store_bf16=True`, threaded from
+# ServingMode.spectral_bf16_store): store DFT-matmul OUTPUTS in bf16
 # instead of fp32. The spectral slice is HBM-bandwidth-bound (BASELINE.md
 # rounds 3-4: shape games are noise, the fused-Pallas kernel loses), and the
 # round-4 HLO audit showed the f32 DFT intermediates are 7.46 GB of the int8
@@ -80,43 +81,46 @@ def _irdft_mats(n: int, norm: str) -> Tuple[np.ndarray, np.ndarray]:
 # bench path); fp32 parity numerics are untouched. Serving plumbing:
 # `spectral_bf16_store=true` (bin/predict.py / bin/precompile.py /
 # serving.load_serving_model).
-BF16_STORE = False
 
 
-def _es(eq, a, b, dtype):
+def _es(eq, a, b, dtype, store_bf16=False):
     """DFT matmul. dtype=bf16: native MXU pass (default precision). dtype=f32:
     Precision.HIGHEST — on TPU the default precision silently truncates fp32
     matmul operands to bf16, which would defeat the parity guarantee.
     CPU backend lacks bf16×bf16→f32 dots, so bf16 falls back to f32 there."""
     want_bf16 = dtype == jnp.bfloat16
     if want_bf16 and jax.default_backend() == 'cpu':
-        dtype = jnp.float32  # CPU lacks bf16 dots; BF16_STORE still rounds
+        dtype = jnp.float32  # CPU lacks bf16 dots; store_bf16 still rounds
         # the STORED result below so the quality gate is CPU-testable
     precision = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
-    out_dtype = jnp.bfloat16 if BF16_STORE and want_bf16 else jnp.float32
+    out_dtype = jnp.bfloat16 if store_bf16 and want_bf16 else jnp.float32
     return jnp.einsum(eq, a.astype(dtype), jnp.asarray(b).astype(dtype),
                       preferred_element_type=out_dtype, precision=precision)
 
 
-def rfft2_dft(x, norm: str = 'ortho', dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def rfft2_dft(x, norm: str = 'ortho', dtype=jnp.float32,
+              store_bf16: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """rfft2 over axes (1, 2) of NHWC input via matmuls.
-    Returns (real, imag), each (B, H, W//2+1, C) fp32."""
+    Returns (real, imag), each (B, H, W//2+1, C) fp32 (bf16 when
+    store_bf16 and the operands are bf16)."""
     if STACKED_DFT:
         return rfft2_dft_stacked(x, norm=norm, dtype=dtype)
     if PACKED_DFT:
         return rfft2_dft_packed(x, norm=norm, dtype=dtype)
     _, h, w, _ = x.shape
     wr, wi = _rdft_mats(w, norm)
-    xr = _es('bhwc,wf->bhfc', x, wr, dtype)
-    xi = _es('bhwc,wf->bhfc', x, wi, dtype)
+    xr = _es('bhwc,wf->bhfc', x, wr, dtype, store_bf16)
+    xi = _es('bhwc,wf->bhfc', x, wi, dtype, store_bf16)
     hr, hi = _dft_mats(h, norm)
-    yr = _es('bhfc,hk->bkfc', xr, hr, dtype) - _es('bhfc,hk->bkfc', xi, hi, dtype)
-    yi = _es('bhfc,hk->bkfc', xr, hi, dtype) + _es('bhfc,hk->bkfc', xi, hr, dtype)
+    yr = (_es('bhfc,hk->bkfc', xr, hr, dtype, store_bf16)
+          - _es('bhfc,hk->bkfc', xi, hi, dtype, store_bf16))
+    yi = (_es('bhfc,hk->bkfc', xr, hi, dtype, store_bf16)
+          + _es('bhfc,hk->bkfc', xi, hr, dtype, store_bf16))
     return yr, yi
 
 
 def irfft2_dft(fr, fi, s: Tuple[int, int], norm: str = 'ortho',
-               dtype=jnp.float32) -> jnp.ndarray:
+               dtype=jnp.float32, store_bf16: bool = False) -> jnp.ndarray:
     """Inverse of rfft2_dft: (B, H, W//2+1, C) re/im -> (B, H, W, C) real.
     H-axis inverse uses conj(D) (D symmetric unitary for ortho)."""
     if STACKED_DFT:
@@ -127,11 +131,14 @@ def irfft2_dft(fr, fi, s: Tuple[int, int], norm: str = 'ortho',
     hr, hi = _dft_mats(h, norm)
     inv_scale = 1.0 if norm == 'ortho' else 1.0 / h
     ihr, ihi = hr.T * inv_scale, -hi.T * inv_scale
-    xr = _es('bkfc,kh->bhfc', fr, ihr, dtype) - _es('bkfc,kh->bhfc', fi, ihi, dtype)
-    xi = _es('bkfc,kh->bhfc', fr, ihi, dtype) + _es('bkfc,kh->bhfc', fi, ihr, dtype)
+    xr = (_es('bkfc,kh->bhfc', fr, ihr, dtype, store_bf16)
+          - _es('bkfc,kh->bhfc', fi, ihi, dtype, store_bf16))
+    xi = (_es('bkfc,kh->bhfc', fr, ihi, dtype, store_bf16)
+          + _es('bkfc,kh->bhfc', fi, ihr, dtype, store_bf16))
     cr, ci = _irdft_mats(w, norm)
     # x[w] = Re(sum_f X[f] e^{+i ang}) = Xr·cos − Xi·sin; ci carries the −sin
-    return _es('bhfc,fw->bhwc', xr, cr, dtype) + _es('bhfc,fw->bhwc', xi, ci, dtype)
+    return (_es('bhfc,fw->bhwc', xr, cr, dtype, store_bf16)
+            + _es('bhfc,fw->bhwc', xi, ci, dtype, store_bf16))
 
 
 def use_dft_for(h: int, w: int) -> bool:

@@ -28,15 +28,15 @@ def load_serving_model(model_path: str, checkpoint: str = 'best',
 
     `quant_zero_pad` (requires precision='int8'): zero-pad instead of
     reflect-gather inside the quantized convs — measured +3.1% on v5e with
-    hole quality at the bf16 path's own level (ops/quant.py::ZERO_PAD_SERVING
-    doc carries the numbers).
+    hole quality at the bf16 path's own level (the zero-pad doc in
+    ops/quant.py carries the numbers).
 
     `spectral_bf16_store` (requires bf16 or int8 precision): store the DFT
     intermediates of the FFC spectral path in bf16 instead of fp32 — the
     spectral slice is HBM-bound and its f32 intermediates are 37% of the
     program's HBM writes (BASELINE.md round-4 HLO audit); measured +9.5%
     on v5e (85.3 → 77.9 ms/batch on the int8 headline program), hole quality
-    gated with trained weights (ops/spectral.py::BF16_STORE).
+    gated with trained weights (ops/spectral.py store_bf16 doc).
 
     `s2d_out_head`: space-to-depth transform on the thin-output 7×7 head
     only (the conv is MXU-lane-padding-bound: 3 output channels pad to 128
@@ -52,7 +52,6 @@ def load_serving_model(model_path: str, checkpoint: str = 'best',
     # spectral stays fp32/bf16 per the repo invariant. Opt-in, serving-only.
     dtype = {'bf16': jnp.bfloat16, 'fp32': jnp.float32,
              'int8': jnp.bfloat16}[precision]
-    from .ops import quant, spectral
     if quant_zero_pad and precision != 'int8':
         raise ValueError('quant_zero_pad requires precision=int8 (it only '
                          'affects the quantized convs)')
@@ -60,15 +59,16 @@ def load_serving_model(model_path: str, checkpoint: str = 'best',
         raise ValueError('spectral_bf16_store has no effect under '
                          'precision=fp32 (the spectral operands are fp32); '
                          'use bf16 or int8')
-    quant.INT8_SERVING = (precision == 'int8')  # explicit both ways: a
-    # later fp32/bf16 load in the same process must clear the mode
-    quant.ZERO_PAD_SERVING = bool(quant_zero_pad)
-    spectral.BF16_STORE = bool(spectral_bf16_store)
-    from .ops import conv as conv_mod
-    from .ops import s2d_conv
-    conv_mod.USE_S2D_CONV = bool(s2d_out_head)
-    s2d_conv.OUT_HEAD_ONLY = bool(s2d_out_head)
-    generator = make_generator(kind, dtype=dtype, **gen_kwargs)
+    # static serving configuration, attached to the module tree — no process
+    # globals: two models with different precisions coexist in one process
+    # (ops/serving_mode.py)
+    from .ops.serving_mode import ServingMode
+    mode = ServingMode(int8=(precision == 'int8'),
+                       zero_pad=bool(quant_zero_pad),
+                       spectral_bf16_store=bool(spectral_bf16_store),
+                       s2d='out_head' if s2d_out_head else 'off')
+    generator = make_generator(kind, serving_mode=mode, dtype=dtype,
+                               **gen_kwargs)
 
     ckpt = os.path.join(model_path, 'models', str(checkpoint))
     if not os.path.exists(ckpt) and os.path.isdir(os.path.splitext(ckpt)[0]):
@@ -89,11 +89,12 @@ def calibrate_int8(generator, variables, batches, mesh=None) -> dict:
 
     Runs the serving forward (masked-image concat, the exact input each conv
     sees when serving) over `batches` — an iterable of (image NHW3, mask
-    NHW1) fp32 pairs — with `quant.CALIBRATING` on, so every eligible conv
-    sows its input amax into a 'quant_stats' collection (max-reduced across
-    calls). Returns `variables` with that collection merged: serving with
-    the merged dict uses the recorded scalar scales instead of a dynamic
-    full-tensor amax reduction per conv (ops/conv.py::_quant_act_amax).
+    NHW1) fp32 pairs — on a `calibrating=True` clone of the generator, so
+    every eligible conv sows its input amax into a 'quant_stats' collection
+    (max-reduced across calls). Returns `variables` with that collection
+    merged: serving with the merged dict uses the recorded scalar scales
+    instead of a dynamic full-tensor amax reduction per conv
+    (ops/conv.py::_quant_act_amax).
 
     `mesh`: when serving is spatially sharded (spatial_shards>1), pass the
     SAME (data, space) mesh — the calibration forward then runs GSPMD-sharded
@@ -107,15 +108,20 @@ def calibrate_int8(generator, variables, batches, mesh=None) -> dict:
     CLI uses the first served batches). With the SAME batch, static and
     dynamic scales are identical by construction.
     """
-    from .ops import quant
-    if not quant.INT8_SERVING:
+    mode = getattr(generator, 'mode', None)
+    if mode is None or not mode.int8:
         raise ValueError('calibrate_int8 requires precision=int8 '
-                         '(quant.INT8_SERVING is off)')
+                         '(the generator was not built with '
+                         'ServingMode(int8=True))')
+    # clone the module tree with calibrating on — the mode propagates to
+    # every conv because children are constructed from parent fields at
+    # trace time; the serving generator itself is untouched
+    cal_gen = generator.clone(mode=mode.but(calibrating=True))
 
     def one(variables, image, mask):
         x = jnp.concatenate([image * (1 - mask), mask], axis=-1)
-        _, mut = generator.apply(variables, x, train=False,
-                                 mutable=['quant_stats'])
+        _, mut = cal_gen.apply(variables, x, train=False,
+                               mutable=['quant_stats'])
         # no eligible conv sowed anything (model below the int8 size gates):
         # empty collection -> caller keeps dynamic scales
         return mut.get('quant_stats', {})
@@ -131,15 +137,11 @@ def calibrate_int8(generator, variables, batches, mesh=None) -> dict:
     else:
         one = jax.jit(one)
 
-    quant.CALIBRATING = True
-    try:
-        stats = None
-        for image, mask in batches:
-            s = one(variables, jnp.asarray(image), jnp.asarray(mask))
-            stats = s if stats is None else jax.tree_util.tree_map(
-                jnp.maximum, stats, s)
-    finally:
-        quant.CALIBRATING = False
+    stats = None
+    for image, mask in batches:
+        s = one(variables, jnp.asarray(image), jnp.asarray(mask))
+        stats = s if stats is None else jax.tree_util.tree_map(
+            jnp.maximum, stats, s)
     if stats is None:
         raise ValueError('calibrate_int8: no calibration batches given')
     if not stats:

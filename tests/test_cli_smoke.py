@@ -157,14 +157,10 @@ def test_to_stablehlo_int8(model_dir, tmp_path):
     artifact (trace-time decision); the CLI's own roundtrip parity assert
     runs inside main()."""
     import to_stablehlo
-    from lama_tpu.ops import quant
     outdir = tmp_path / 'export8'
-    try:
-        to_stablehlo.main([f'model.path={model_dir}', f'outdir={outdir}',
-                           'height=64', 'width=64', 'device=cpu',
-                           'precision=int8'])
-    finally:
-        quant.INT8_SERVING = False
+    to_stablehlo.main([f'model.path={model_dir}', f'outdir={outdir}',
+                       'height=64', 'width=64', 'device=cpu',
+                       'precision=int8'])
     files = list(outdir.glob('*_int8.stablehlo'))
     assert files and files[0].stat().st_size > 0
 
@@ -175,7 +171,6 @@ def test_to_stablehlo_int8_calibrated(model_dir, tmp_path, rng):
     roundtrip parity assert runs inside main()."""
     import to_stablehlo
     from lama_tpu.data.io import save_image
-    from lama_tpu.ops import quant
     indir = tmp_path / 'calib'
     indir.mkdir()
     save_image(str(indir / 'a.png'), rng.rand(64, 64, 3).astype(np.float32))
@@ -183,12 +178,9 @@ def test_to_stablehlo_int8_calibrated(model_dir, tmp_path, rng):
     mask[16:48, 16:48] = 1.0
     save_image(str(indir / 'a_mask.png'), mask)
     outdir = tmp_path / 'export8c'
-    try:
-        to_stablehlo.main([f'model.path={model_dir}', f'outdir={outdir}',
-                           'height=64', 'width=64', 'device=cpu',
-                           'precision=int8', f'calibration_indir={indir}'])
-    finally:
-        quant.INT8_SERVING = False
+    to_stablehlo.main([f'model.path={model_dir}', f'outdir={outdir}',
+                       'height=64', 'width=64', 'device=cpu',
+                       'precision=int8', f'calibration_indir={indir}'])
     files = list(outdir.glob('*_int8.stablehlo'))
     assert files and files[0].stat().st_size > 0
 
@@ -445,7 +437,6 @@ def test_precompile_cli_int8_calibration(tmp_path, model_dir, monkeypatch):
     monkeypatch.setenv('LAMA_COMPILATION_CACHE', str(cache))
     import jax
     import precompile as precompile_cli
-    from lama_tpu.ops import quant
     keys = ('jax_compilation_cache_dir',
             'jax_persistent_cache_min_entry_size_bytes',
             'jax_persistent_cache_min_compile_time_secs')
@@ -455,7 +446,6 @@ def test_precompile_cli_int8_calibration(tmp_path, model_dir, monkeypatch):
                              'batch_size=1', 'device=cpu', 'precision=int8',
                              'quant_calibration=1'])
     finally:
-        quant.INT8_SERVING = False
         for k, v in prior.items():
             jax.config.update(k, v)
         from jax._src import compilation_cache as _cc

@@ -265,8 +265,8 @@ def test_predict_cli_refine_with_spatial_shards(tmp_path, rng):
 def test_predict_cli_spectral_bf16_store(tmp_path, rng):
     """spectral_bf16_store=true (the round-4 +9.5% serving lever): CLI runs
     end to end, known region preserved, hole output close to the plain int8
-    serve; the flag clears on the next plain load."""
-    from lama_tpu.ops import spectral
+    serve; the mode is per-generator (tests/test_spectral.py covers the
+    loader threading)."""
     model_dir = make_model_dir(tmp_path)
     indir = tmp_path / 'data'
     indir.mkdir()
@@ -285,13 +285,6 @@ def test_predict_cli_spectral_bf16_store(tmp_path, rng):
                           f'outdir={outdir}', 'dataset.img_suffix=.png',
                           'precision=int8'] + extra)
         outs[tag] = load_image(str(outdir / 'a_mask.png'))
-    assert spectral.BF16_STORE is True  # set by the bf16store run (last)
-    from lama_tpu.serving import load_serving_model  # a plain load clears it
-    load_serving_model(str(model_dir), 'best', precision='bf16')
-    assert spectral.BF16_STORE is False
-    from lama_tpu.ops import quant
-    quant.INT8_SERVING = False
-
     known = mask[..., 0] == 0
     np.testing.assert_allclose(outs['bf16store'][known], img[known],
                                atol=2 / 255)

@@ -9,21 +9,12 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from lama_tpu.ops import quant
 from lama_tpu.ops.conv import conv2d
 from lama_tpu.ops.quant import conv_eligible, quantized_conv2d
+from lama_tpu.ops.serving_mode import ServingMode
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, 'bin'))
-
-
-@pytest.fixture(autouse=True)
-def _reset_int8_flag():
-    """INT8_SERVING is module-global; a mid-test failure must not leak
-    quantized serving into later tests."""
-    yield
-    quant.INT8_SERVING = False
-    quant.ZERO_PAD_SERVING = False
 
 
 @pytest.mark.parametrize('padding_mode,stride,dilation,groups', [
@@ -84,7 +75,7 @@ def test_spectral_conv_never_quantizes(rng):
     """The FourierUnit's frequency-domain 1x1 conv must stay out of the int8
     path even when eligible by channel count (DC-dominated spectra are
     hostile to per-tensor scales; fp32/bf16 spectral is a repo invariant):
-    outputs with INT8_SERVING on/off must be IDENTICAL."""
+    outputs with ServingMode(int8=True) on/off must be IDENTICAL."""
     from lama_tpu.models.ffc import FourierUnit
     # use_se forces the fallback path whose conv is a Conv2d module (the
     # concat-layout fast path uses a raw lax conv and never quantizes)
@@ -92,11 +83,8 @@ def test_spectral_conv_never_quantizes(rng):
     x = jnp.asarray(rng.randn(1, 16, 16, 64).astype(np.float32))
     variables = fu.init(jax.random.PRNGKey(0), x, train=False)
     ref = fu.apply(variables, x, train=False)
-    quant.INT8_SERVING = True
-    try:
-        out = fu.apply(variables, x, train=False)
-    finally:
-        quant.INT8_SERVING = False
+    fu8 = FourierUnit(features=64, use_se=True, mode=ServingMode(int8=True))
+    out = fu8.apply(variables, x, train=False)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
@@ -124,8 +112,6 @@ def test_quant_zero_pad_serving(tmp_path, rng):
                           f'outdir={outdir}', 'device=cpu', 'precision=int8',
                           f'quant_zero_pad={zp}'])
         outs[zp] = load_image(str(outdir / 'a_mask.png'))
-    quant.INT8_SERVING = False
-    quant.ZERO_PAD_SERVING = False
     known = mask[..., 0] == 0
     orig = load_image(str(indir / 'a.png'))
     # composite keeps known pixels regardless of padding semantics
@@ -143,43 +129,34 @@ def test_quant_zero_pad_serving(tmp_path, rng):
 
 
 def test_spectral_int8_lever(rng):
-    """SPECTRAL_INT8 (round-4 measured-quality lever): the frequency 1x1 conv
-    runs on the int8 MXU when INT8_SERVING is on. OFF (default) must be
-    bit-identical to the plain path; ON must stay numerically close on a
-    non-adversarial input (the trained-weight PSNR gate lives in
-    probes/_t_int8_quality.py)."""
+    """SPECTRAL_INT8 (round-4 measured-quality probe lever): the frequency
+    1x1 conv runs on the int8 MXU when serving int8 (ServingMode.int8). OFF
+    (default) must be bit-identical to the plain path; ON must stay
+    numerically close on a non-adversarial input (the trained-weight PSNR
+    gate lives in probes/_t_int8_quality.py)."""
     from lama_tpu.models import ffc as ffc_mod
     from lama_tpu.models.ffc import FourierUnit
 
     fu = FourierUnit(features=64)
+    fu8 = FourierUnit(features=64, mode=ServingMode(int8=True))
     x = jnp.asarray(rng.randn(2, 16, 16, 64).astype(np.float32))
     variables = fu.init(jax.random.PRNGKey(0), x, train=False)
     ref = np.asarray(fu.apply(variables, x, train=False))
 
-    quant.INT8_SERVING = True
-    try:
-        off = np.asarray(fu.apply(variables, x, train=False))
-        np.testing.assert_array_equal(off, ref)  # flag off: untouched
-        ffc_mod.SPECTRAL_INT8 = True
-        try:
-            on = np.asarray(jax.jit(
-                lambda v, x: fu.apply(v, x, train=False))(variables, x))
-        finally:
-            ffc_mod.SPECTRAL_INT8 = False
-    finally:
-        quant.INT8_SERVING = False
-    rel = float(np.linalg.norm(on - ref) / (np.linalg.norm(ref) + 1e-9))
-    assert rel < 0.1, rel  # 8-bit operands over a DC-dominated spectrum
-    # training path never quantizes, flag or not
-    quant.INT8_SERVING = True
+    off = np.asarray(fu8.apply(variables, x, train=False))
+    np.testing.assert_array_equal(off, ref)  # probe flag off: untouched
     ffc_mod.SPECTRAL_INT8 = True
     try:
-        tr, _ = fu.apply(variables, x, train=True,
-                         mutable=['batch_stats'])
+        on = np.asarray(jax.jit(
+            lambda v, x: fu8.apply(v, x, train=False))(variables, x))
+        # training path never quantizes, probe flag or not
+        tr, _ = fu8.apply(variables, x, train=True,
+                          mutable=['batch_stats'])
         assert np.isfinite(np.asarray(tr)).all()
     finally:
         ffc_mod.SPECTRAL_INT8 = False
-        quant.INT8_SERVING = False
+    rel = float(np.linalg.norm(on - ref) / (np.linalg.norm(ref) + 1e-9))
+    assert rel < 0.1, rel  # 8-bit operands over a DC-dominated spectrum
 
 
 def test_spectral_skip_probe_flag(rng):
@@ -207,7 +184,6 @@ def test_int8_composes_with_spatial_shards(tmp_path, rng):
     int8 outputs."""
     from test_predict_cli import make_model_dir
     from lama_tpu.data.io import load_image, save_image
-    from lama_tpu.ops import quant
     import predict as predict_cli
 
     model_dir = make_model_dir(tmp_path)
@@ -226,7 +202,6 @@ def test_int8_composes_with_spatial_shards(tmp_path, rng):
                           f'outdir={outdir}', 'device=cpu', 'precision=int8',
                           f'spatial_shards={shards}'])
         outs[shards] = load_image(str(outdir / 'a_mask.png'))
-    quant.INT8_SERVING = False
     np.testing.assert_array_equal(outs[0], outs[2])
 
 
@@ -239,7 +214,7 @@ def test_int8_static_scales_match_dynamic_on_calibration_batch(rng):
 
     gen = FFCResNetGenerator(
         input_nc=4, output_nc=3, ngf=64, n_downsampling=2, n_blocks=1,
-        add_out_act='sigmoid',
+        add_out_act='sigmoid', mode=ServingMode(int8=True),
         init_conv_kwargs=dict(ratio_gin=0, ratio_gout=0, enable_lfu=False),
         downsample_conv_kwargs=dict(ratio_gin=0, ratio_gout=0, enable_lfu=False),
         resnet_conv_kwargs=dict(ratio_gin=0.75, ratio_gout=0.75, enable_lfu=False))
@@ -248,14 +223,10 @@ def test_int8_static_scales_match_dynamic_on_calibration_batch(rng):
     x = jnp.concatenate([img * (1 - mask), mask], axis=-1)
     variables = gen.init(jax.random.PRNGKey(0), x, train=False)
 
-    quant.INT8_SERVING = True
-    try:
-        dyn = jax.jit(lambda v, x: gen.apply(v, x, train=False))(variables, x)
-        calibrated = calibrate_int8(gen, variables, [(img, mask)])
-        assert len(jax.tree_util.tree_leaves(calibrated['quant_stats'])) > 0
-        stat = jax.jit(lambda v, x: gen.apply(v, x, train=False))(calibrated, x)
-    finally:
-        quant.INT8_SERVING = False
+    dyn = jax.jit(lambda v, x: gen.apply(v, x, train=False))(variables, x)
+    calibrated = calibrate_int8(gen, variables, [(img, mask)])
+    assert len(jax.tree_util.tree_leaves(calibrated['quant_stats'])) > 0
+    stat = jax.jit(lambda v, x: gen.apply(v, x, train=False))(calibrated, x)
     np.testing.assert_array_equal(np.asarray(dyn, np.float32),
                                   np.asarray(stat, np.float32))
 
@@ -271,7 +242,7 @@ def test_calibrate_int8_under_mesh_matches_unsharded(rng):
 
     gen = FFCResNetGenerator(
         input_nc=4, output_nc=3, ngf=64, n_downsampling=2, n_blocks=1,
-        add_out_act='sigmoid',
+        add_out_act='sigmoid', mode=ServingMode(int8=True),
         init_conv_kwargs=dict(ratio_gin=0, ratio_gout=0, enable_lfu=False),
         downsample_conv_kwargs=dict(ratio_gin=0, ratio_gout=0, enable_lfu=False),
         resnet_conv_kwargs=dict(ratio_gin=0.75, ratio_gout=0.75, enable_lfu=False))
@@ -281,17 +252,13 @@ def test_calibrate_int8_under_mesh_matches_unsharded(rng):
     variables = gen.init(jax.random.PRNGKey(0), x, train=False)
 
     mesh = make_mesh(('data', 'space'), shape=(1, 2), devices=jax.devices()[:2])
-    quant.INT8_SERVING = True
-    try:
-        plain = calibrate_int8(gen, variables, [(img, mask)])
-        sharded = calibrate_int8(gen, variables, [(img, mask)], mesh=mesh)
-        flat_p = jax.tree_util.tree_leaves(plain['quant_stats'])
-        flat_s = jax.tree_util.tree_leaves(sharded['quant_stats'])
-        assert len(flat_p) == len(flat_s) > 0
-        for a, b in zip(flat_p, flat_s):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    finally:
-        quant.INT8_SERVING = False
+    plain = calibrate_int8(gen, variables, [(img, mask)])
+    sharded = calibrate_int8(gen, variables, [(img, mask)], mesh=mesh)
+    flat_p = jax.tree_util.tree_leaves(plain['quant_stats'])
+    flat_s = jax.tree_util.tree_leaves(sharded['quant_stats'])
+    assert len(flat_p) == len(flat_s) > 0
+    for a, b in zip(flat_p, flat_s):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_predict_cli_quant_calibration_with_spatial_shards(tmp_path, rng):
@@ -318,7 +285,6 @@ def test_predict_cli_quant_calibration_with_spatial_shards(tmp_path, rng):
                           f'outdir={outdir}', 'device=cpu', 'precision=int8',
                           'quant_calibration=1', f'spatial_shards={shards}'])
         outs[shards] = load_image(str(outdir / 'a_mask.png'))
-    quant.INT8_SERVING = False
     np.testing.assert_array_equal(outs[0], outs[2])
 
 
@@ -351,7 +317,6 @@ def test_predict_cli_quant_calibration(tmp_path, rng):
                           f'outdir={outdir}', 'device=cpu', 'precision=int8',
                           f'quant_calibration={calib}'])
         outs[calib] = load_image(str(outdir / 'a_mask.png'))
-    quant.INT8_SERVING = False
     np.testing.assert_array_equal(outs[0], outs[1])
 
 
@@ -386,13 +351,12 @@ def test_refine_rejects_int8(tmp_path, rng):
         predict_cli.main([f'model.path={model_dir}', f'indir={indir}',
                           f'outdir={tmp_path / "out"}', 'device=cpu',
                           'refine=true', 'precision=int8'])
-    quant.INT8_SERVING = False
 
 
 def test_int8_serving_path_end_to_end(tmp_path, rng):
     """precision=int8 through load_serving_model + make_inpaint_forward:
     runs under jit, composite preserves known pixels exactly, hole output
-    stays close to the fp32 serve, and the flag clears on a later load."""
+    stays close to the fp32 serve; the mode is a per-generator attribute."""
     from test_predict_cli import make_model_dir
     from lama_tpu.serving import load_serving_model, make_inpaint_forward
 
@@ -404,10 +368,9 @@ def test_int8_serving_path_end_to_end(tmp_path, rng):
     for precision in ('fp32', 'int8'):
         gen, variables, _ = load_serving_model(str(model_dir), 'best',
                                                precision=precision)
-        assert quant.INT8_SERVING == (precision == 'int8')
+        assert gen.mode.int8 == (precision == 'int8')
         fn = jax.jit(make_inpaint_forward(gen))
         outs[precision] = np.asarray(fn(variables, img, mask))
-    quant.INT8_SERVING = False
 
     known = np.asarray(mask[0, ..., 0]) == 0
     np.testing.assert_array_equal(outs['int8'][0][known], np.asarray(img)[0][known])
@@ -425,7 +388,6 @@ def test_headline_mode_composes_with_spatial_shards(tmp_path, rng):
     precision."""
     from test_predict_cli import make_model_dir
     from lama_tpu.data.io import load_image, save_image
-    from lama_tpu.ops import quant, spectral
     import predict as predict_cli
 
     model_dir = make_model_dir(tmp_path)
@@ -446,9 +408,6 @@ def test_headline_mode_composes_with_spatial_shards(tmp_path, rng):
                           'spectral_bf16_store=true',
                           f'spatial_shards={shards}'])
         outs[shards] = load_image(str(outdir / 'a_mask.png'))
-    quant.INT8_SERVING = False
-    quant.ZERO_PAD_SERVING = False
-    spectral.BF16_STORE = False
     known = mask[..., 0] == 0
     np.testing.assert_array_equal(outs[0][known], outs[2][known])
     # hole: bf16 stores round AFTER the psum of H-sharded DFT partial sums,

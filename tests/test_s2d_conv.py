@@ -44,32 +44,25 @@ def test_s2d_factor_table():
 
 
 def test_s2d_out_head_only_table():
-    """OUT_HEAD_ONLY (the round-4 s2d_out_head serving option) restricts the
-    dispatch to thin-OUTPUT heads: stem/downsample shapes fall back to the
-    plain conv."""
-    from lama_tpu.ops import s2d_conv
-    s2d_conv.OUT_HEAD_ONLY = True
-    try:
-        assert s2d_factor_for(512, 512, 64, 3, 7, 1) == 8    # out head: on
-        assert s2d_factor_for(512, 512, 4, 64, 7, 1) is None  # stem: off
-        assert s2d_factor_for(512, 512, 64, 128, 3, 2) is None  # down1: off
-    finally:
-        s2d_conv.OUT_HEAD_ONLY = False
+    """out_head_only (the round-4 s2d_out_head serving option,
+    ServingMode.s2d='out_head') restricts the dispatch to thin-OUTPUT heads:
+    stem/downsample shapes fall back to the plain conv."""
+    assert s2d_factor_for(512, 512, 64, 3, 7, 1, out_head_only=True) == 8
+    assert s2d_factor_for(512, 512, 4, 64, 7, 1, out_head_only=True) is None
+    assert s2d_factor_for(512, 512, 64, 128, 3, 2, out_head_only=True) is None
 
 
 def test_s2d_out_head_serving_end_to_end(tmp_path, rng):
     """s2d_out_head=true through the predict CLI composed with the full
     headline mode: outputs must match the non-s2d serve (exact algebra; the
-    only drift is bf16 float association inside the repacked conv) and the
-    flags must clear on the next plain load."""
+    only drift is bf16 float association inside the repacked conv), and the
+    mode is per-generator (a later plain load does not disturb it)."""
     import sys as _sys
     import os as _os
     REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     _sys.path.insert(0, _os.path.join(REPO, 'bin'))
     from test_predict_cli import make_model_dir
     from lama_tpu.data.io import load_image, save_image
-    from lama_tpu.ops import conv as conv_mod
-    from lama_tpu.ops import quant, s2d_conv, spectral
     import predict as predict_cli
 
     model_dir = make_model_dir(tmp_path)
@@ -90,12 +83,15 @@ def test_s2d_out_head_serving_end_to_end(tmp_path, rng):
                           f'outdir={outdir}', 'device=cpu',
                           'dataset.img_suffix=.png'] + mode + extra)
         outs[tag] = load_image(str(outdir / 'a_mask.png'))
-    assert conv_mod.USE_S2D_CONV and s2d_conv.OUT_HEAD_ONLY  # set by s2d run
     from lama_tpu.serving import load_serving_model
-    load_serving_model(str(model_dir), 'best', precision='bf16')
-    assert not conv_mod.USE_S2D_CONV and not s2d_conv.OUT_HEAD_ONLY
-    quant.INT8_SERVING = False
-    spectral.BF16_STORE = False
+    gen_s2d, _, _ = load_serving_model(str(model_dir), 'best',
+                                       precision='int8', s2d_out_head=True)
+    assert gen_s2d.mode.s2d == 'out_head' and gen_s2d.mode.int8
+    gen_plain, _, _ = load_serving_model(str(model_dir), 'best',
+                                         precision='bf16')
+    assert gen_plain.mode.s2d == 'off' and not gen_plain.mode.int8
+    # per-generator modes coexist; no ambient flags to clear
+    assert gen_s2d.mode.s2d == 'out_head' and gen_s2d.mode.int8
 
     known = mask[..., 0] == 0
     np.testing.assert_allclose(outs['s2d'][known], img[known], atol=2 / 255)

@@ -290,44 +290,45 @@ def test_spectral_fold_bn_exact(monkeypatch):
                                rtol=1e-4, atol=1e-5)
 
 
-def test_bf16_store_roundtrip(x, monkeypatch):
-    """BF16_STORE (measured-quality serving lever, +9.5% on the int8
+def test_bf16_store_roundtrip(x):
+    """store_bf16 (measured-quality serving lever, +9.5% on the int8
     headline program — BASELINE.md round 4): DFT intermediates stored in
     bf16. Off by default; on, the transform stays correct to bf16
     tolerance and is inert for fp32 operands."""
-    assert spectral.BF16_STORE is False  # default off: parity paths exact
     fr0, fi0 = spectral.rfft2_dft(x)
-    monkeypatch.setattr(spectral, 'BF16_STORE', True)
     # fp32 operands: flag is inert, outputs stay fp32 and bit-identical
-    fr_f32, fi_f32 = spectral.rfft2_dft(x, dtype=jnp.float32)
+    fr_f32, fi_f32 = spectral.rfft2_dft(x, dtype=jnp.float32, store_bf16=True)
     assert fr_f32.dtype == jnp.float32
     np.testing.assert_array_equal(np.asarray(fr_f32), np.asarray(fr0))
     # bf16 operands: outputs stored bf16, correct to bf16 tolerance
-    fr1, fi1 = spectral.rfft2_dft(x, dtype=jnp.bfloat16)
+    fr1, fi1 = spectral.rfft2_dft(x, dtype=jnp.bfloat16, store_bf16=True)
     assert fr1.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(fr1, np.float32),
                                np.asarray(fr0), atol=0.05, rtol=0.05)
     out = spectral.irfft2_dft(fr1.astype(jnp.float32),
                               fi1.astype(jnp.float32), s=x.shape[1:3],
-                              dtype=jnp.bfloat16)
+                              dtype=jnp.bfloat16, store_bf16=True)
     np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(x),
                                atol=0.15)
 
 
 def test_serving_loader_sets_bf16_store(tmp_path):
-    """load_serving_model plumbs spectral_bf16_store both ways and rejects
-    the inert fp32 combination loudly."""
+    """load_serving_model threads spectral_bf16_store into the generator's
+    static ServingMode (no process globals) and rejects the inert fp32
+    combination loudly."""
     import pytest as _pytest
     from lama_tpu.serving import load_serving_model
     from test_predict_cli import make_model_dir
     model_dir = make_model_dir(tmp_path)
-    _, _, _ = load_serving_model(str(model_dir), 'best', precision='int8',
-                                 spectral_bf16_store=True)
-    assert spectral.BF16_STORE is True
-    _, _, _ = load_serving_model(str(model_dir), 'best', precision='bf16')
-    assert spectral.BF16_STORE is False
-    from lama_tpu.ops import quant
-    assert quant.INT8_SERVING is False
+    gen_a, _, _ = load_serving_model(str(model_dir), 'best', precision='int8',
+                                     spectral_bf16_store=True)
+    assert gen_a.mode.spectral_bf16_store is True and gen_a.mode.int8 is True
+    gen_b, _, _ = load_serving_model(str(model_dir), 'best', precision='bf16')
+    assert gen_b.mode.spectral_bf16_store is False
+    assert gen_b.mode.int8 is False
+    # the two differently-configured generators COEXIST: loading gen_b did
+    # not mutate gen_a's mode (the round-4 global-flag failure mode)
+    assert gen_a.mode.spectral_bf16_store is True and gen_a.mode.int8 is True
     with _pytest.raises(ValueError, match='spectral_bf16_store'):
         load_serving_model(str(model_dir), 'best', precision='fp32',
                            spectral_bf16_store=True)
