@@ -37,10 +37,11 @@ DTYPE = jnp.bfloat16
 
 
 def build_step(with_pl=False, fm_weight=100.0, r1_every=1, no_r1=False,
-               sgd=False):
+               sgd=False, serving_mode=None):
     gen = make_generator(
         'ffc_resnet', input_nc=4, output_nc=3, ngf=64, n_downsampling=3,
         n_blocks=18, add_out_act='sigmoid', dtype=DTYPE,
+        serving_mode=serving_mode,
         init_conv_kwargs=dict(ratio_gin=0, ratio_gout=0, enable_lfu=False),
         downsample_conv_kwargs=dict(ratio_gin=0, ratio_gout=0, enable_lfu=False),
         resnet_conv_kwargs=dict(ratio_gin=0.75, ratio_gout=0.75, enable_lfu=False))
@@ -122,13 +123,12 @@ def main():
     if only is not None and 'full_bf16store' in only:
         # measured-quality candidate: bf16-stored spectral DFT intermediates
         # in the TRAIN step (forward and backward einsums both store bf16) —
-        # the serving win (+9.5%, BASELINE.md round 4) applied to training
-        from lama_tpu.ops import spectral as spectral_mod
-        spectral_mod.BF16_STORE = True
-        try:
-            run('full_bf16store', with_pl=True)
-        finally:
-            spectral_mod.BF16_STORE = False
+        # the serving win (+9.5%, BASELINE.md round 4) applied to training.
+        # MEASURED NOISE (−0.6%, BASELINE.md round 4): 32² frequency tensors
+        # are too small at the training protocol.
+        from lama_tpu.ops.serving_mode import ServingMode
+        run('full_bf16store', with_pl=True,
+            serving_mode=ServingMode(spectral_bf16_store=True))
     run('base')
     run('no_r1', no_r1=True)
     run('no_fm', fm_weight=0.0)
