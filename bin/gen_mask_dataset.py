@@ -88,7 +88,7 @@ def process_images(src_images, indir, outdir, config, seed=None):
 
     for infile in src_images:
         try:
-            file_relpath = infile[len(indir):]
+            file_relpath = os.path.relpath(infile, indir)
             img_outpath = os.path.join(outdir, file_relpath)
             os.makedirs(os.path.dirname(img_outpath), exist_ok=True)
 
