@@ -536,10 +536,13 @@ class IterableBatchLoader:
         import itertools
         produced = 0
         set_cycle = getattr(self.dataset, 'set_cycle', None)
+        # the partial batch carries across cycles: a dataset smaller than one
+        # batch must still fill batches by re-streaming (resetting it per
+        # cycle would loop forever whenever per-cycle yield < batch_size)
+        batch = []
         for cycle in itertools.count():
             if set_cycle is not None:
                 set_cycle(cycle)
-            batch = []
             empty = True
             for item in self.dataset:
                 empty = False

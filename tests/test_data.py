@@ -365,3 +365,22 @@ def test_web_loader_fixed_epoch_length(tmp_path, rng):
         per = batches_per_pass[rank]
         sig = [b['mask'].tobytes() for b in batches]
         assert sig[0:2] != sig[per:per + 2]
+
+
+def test_web_loader_batch_larger_than_one_pass(tmp_path, rng):
+    """A batch bigger than one full pass over the host's shards must still
+    fill by carrying the partial batch across cycles (regression: the round-4
+    multichip gate spun forever at 100% CPU because the per-cycle batch reset
+    could never reach batch_size=16 from an 8-image shard set)."""
+    _write_tar_shards(tmp_path, rng, n_shards=2, per_shard=4)  # 8 samples
+
+    ld = _web_loader(tmp_path, pattern='part{00000..00001}.tar', seed=5)
+    ld.batch_size = 16  # two full passes per batch
+    ld.epoch_batches = 2
+    batches = list(ld)
+    assert len(batches) == 2
+    assert all(b['image'].shape[0] == 16 for b in batches)
+    # deterministic replay of the same epoch
+    again = list(ld)
+    for x, y in zip(batches, again):
+        np.testing.assert_array_equal(x['image'], y['image'])
