@@ -226,11 +226,17 @@ def conv2d(x, kernel, bias=None, stride=1, padding=0, dilation=1, groups=1,
             and padding[0] == padding[1]
             and padding[0][0] == padding[0][1] == kernel.shape[0] // 2
             and jax.default_backend() not in ('cpu',)):
-        from .s2d_conv import conv2d_reflect_s2d, s2d_factor_for
+        from .s2d_conv import (conv2d_reflect_phase, conv2d_reflect_s2d,
+                               s2d_factor_for)
         a = s2d_factor_for(x.shape[1], x.shape[2], x.shape[3], kernel.shape[3],
                            kernel.shape[0], stride[0],
                            out_head_only=(s2d == 'out_head'))
         if a is not None and x.shape[1] % a == 0 and x.shape[2] % a == 0:
+            if stride[0] == 1 and kernel.shape[3] <= 8:
+                # thin-OUTPUT head: the stride-a phase conv avoids the s2d
+                # input transpose entirely (15.9 -> 6.9 ms isolated at the
+                # big-lama head, probes/_t_out_head_iso.py)
+                return conv2d_reflect_phase(x, kernel, bias=bias, a=a)
             return conv2d_reflect_s2d(x, kernel, bias=bias, stride=stride[0],
                                       a=a)
     if (USE_PALLAS_REFLECT and padding_mode == 'reflect'

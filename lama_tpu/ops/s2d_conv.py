@@ -117,6 +117,63 @@ def conv2d_reflect_s2d(x, kernel, bias=None, stride: int = 1, a: int = 2,
 # probes/_t_int8_profile.py s2d_out). Exact semantics (reflect-pad + conv
 # algebra, parity-tested vs torch in tests/test_s2d_conv.py) — no quality
 # gate needed.
+#
+# Round 5 upgraded the out-head dispatch from the s2d-domain conv to the
+# PHASE conv below: the round-5 decomposition probe (probes/_t_out_head_iso
+# .py) showed the s2d path's cost is NOT the packed conv (2.8 ms) but the
+# materialisation of the 543 MB space-to-depth transpose feeding it
+# (~9.5 ms of the 15.9 ms total, vs a ~1.3 ms copy roofline). The phase
+# conv reads the reflect-padded input in its ORIGINAL NHWC layout with a
+# strided window instead — no s2d transpose exists at all. Isolated:
+# 15.92 -> 6.90 ms (2.3x); the conv core alone is 2.59 ms ≈ its 1.6 ms
+# compute roofline (316 GFLOP at the head shape).
+
+
+def _phase_gather_idx(k: int, a: int):
+    """idx[t, d] = original tap t - d (the phase-conv scatter), k -> zero."""
+    t_sz = k + a - 1
+    idx = np.zeros((t_sz, a), np.int32)
+    for t in range(t_sz):
+        for d in range(a):
+            ky = t - d
+            idx[t, d] = ky if 0 <= ky < k else k
+    return t_sz, idx
+
+
+def pack_kernel_phase(kernel, a: int):
+    """(k, k, C, C') HWIO -> (k+a-1, k+a-1, C, a*a*C') for the stride-a
+    phase conv: output channel (dy, dx, c') holds tap (t-dy, t-dx)."""
+    k, _, c, c_out = kernel.shape
+    t_sz, idx = _phase_gather_idx(k, a)
+    kp = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))  # row/col k == 0
+    # gather -> (Ty, dy, Tx, dx, C, C') -> (Ty, Tx, C, dy, dx, C')
+    w = kp[idx[:, :, None, None], idx[None, None]]
+    w = w.transpose(0, 2, 4, 1, 3, 5)
+    return w.reshape(t_sz, t_sz, c, a * a * c_out)
+
+
+def conv2d_reflect_phase(x, kernel, bias=None, a: int = 8,
+                         padding_mode: str = 'reflect'):
+    """reflect-pad(k//2) + stride-1 conv, computed as ONE stride-`a` conv
+    over the padded input whose output channels are the a x a output phases
+    (depth-to-space'd back). Exact reflect-pad + conv semantics; unlike
+    conv2d_reflect_s2d the INPUT is never space-to-depth repacked — the
+    strided conv window does the blocking, so the 2H x 2W transpose
+    materialisation (the dominant cost of the s2d path, see above)
+    disappears. Requires stride 1 and H, W divisible by a."""
+    b, h, w_in, c = x.shape
+    k = kernel.shape[0]
+    p = k // 2
+    xp = pad2d(x, ((p, p), (p, p)), mode=padding_mode)
+    wp = pack_kernel_phase(kernel, a)
+    out = jax.lax.conv_general_dilated(
+        xp, wp, (a, a), 'VALID',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        preferred_element_type=jnp.float32)
+    out = depth_to_space(out, a).astype(x.dtype)
+    if bias is not None:
+        out = out + bias.reshape(1, 1, 1, -1).astype(out.dtype)
+    return out
 
 
 def s2d_factor_for(h: int, w: int, c: int, c_out: int, k: int, s: int,

@@ -152,6 +152,28 @@ def main():
             results['headline_noblocks'] = time_variant(
                 'headline_noblocks', gen0, v0, img, mask)
 
+    if want('phase_vs_s2d'):
+        # Round-5 out-head side-by-side under the headline mode, one process:
+        # the new phase-conv dispatch (shipped) vs the round-4 s2d-domain
+        # conv (reached by patching the phase entry point back).
+        from lama_tpu.serving import calibrate_int8
+        from lama_tpu.ops import s2d_conv as s2d_mod
+        gen_h = build(mode=HEADLINE)
+        v_static = calibrate_int8(gen_h, variables,
+                                  [(np.asarray(img), np.asarray(mask))])
+        results['head_phase'] = time_variant('head_phase', gen_h, v_static,
+                                             img, mask)
+        real_phase = s2d_mod.conv2d_reflect_phase
+        s2d_mod.conv2d_reflect_phase = (
+            lambda x, k, bias=None, a=8, padding_mode='reflect':
+            s2d_mod.conv2d_reflect_s2d(x, k, bias=bias, stride=1, a=a,
+                                       padding_mode=padding_mode))
+        try:
+            results['head_s2d'] = time_variant('head_s2d', gen_h, v_static,
+                                               img, mask)
+        finally:
+            s2d_mod.conv2d_reflect_phase = real_phase
+
     if {'full', 'spectral_skip', 'no_blocks'} <= set(results):
         f, s, r = (results['full'], results['spectral_skip'],
                    results['no_blocks'])

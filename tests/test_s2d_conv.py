@@ -35,6 +35,43 @@ def test_s2d_conv_matches_torch_reflect(rng, k, s, a, h, w, c, co):
                                ref, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize('k,a,h,w,c,co', [
+    (7, 8, 64, 64, 64, 3),    # the big-lama out head shape family
+    (7, 8, 64, 72, 16, 3),    # non-square
+    (7, 4, 32, 32, 8, 6),
+    (3, 8, 64, 64, 12, 2),
+    (5, 2, 16, 16, 4, 4),
+])
+def test_phase_conv_matches_torch_reflect(rng, k, a, h, w, c, co):
+    """Round-5 out-head dispatch: the stride-a phase conv (no s2d input
+    transpose) must equal reflect-pad + stride-1 conv exactly."""
+    from lama_tpu.ops.s2d_conv import conv2d_reflect_phase
+    p = k // 2
+    x = rng.randn(2, h, w, c).astype(np.float32)
+    kern = rng.randn(k, k, c, co).astype(np.float32) * 0.1
+    bias = rng.randn(co).astype(np.float32)
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    kt = torch.from_numpy(np.transpose(kern, (3, 2, 0, 1)))
+    ref = TF.conv2d(TF.pad(xt, [p] * 4, mode='reflect'), kt,
+                    bias=torch.from_numpy(bias), stride=1).numpy()
+    out = conv2d_reflect_phase(jnp.asarray(x), jnp.asarray(kern),
+                               bias=jnp.asarray(bias), a=a)
+    np.testing.assert_allclose(np.transpose(np.asarray(out), (0, 3, 1, 2)),
+                               ref, rtol=1e-4, atol=1e-4)
+
+
+def test_phase_conv_matches_s2d_conv(rng):
+    """The two out-head implementations agree (same algebra, different
+    data movement)."""
+    from lama_tpu.ops.s2d_conv import conv2d_reflect_phase
+    x = rng.randn(1, 64, 64, 32).astype(np.float32)
+    kern = rng.randn(7, 7, 32, 3).astype(np.float32) * 0.1
+    a = conv2d_reflect_s2d(jnp.asarray(x), jnp.asarray(kern), stride=1, a=8)
+    b = conv2d_reflect_phase(jnp.asarray(x), jnp.asarray(kern), a=8)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_s2d_factor_table():
     assert s2d_factor_for(512, 512, 4, 64, 7, 1) == 2     # stem-like
     assert s2d_factor_for(512, 512, 64, 3, 7, 1) == 8     # head-like
