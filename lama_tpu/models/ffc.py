@@ -157,6 +157,13 @@ class FourierUnit(nn.Module):
     # bf16 compute -> bf16 spectral (full-rate MXU), otherwise fp32 with
     # Precision.HIGHEST (exact parity vs jnp.fft)
     spectral_dtype: Optional[Dtype] = None
+    # Round-5 train lever (HLO audit, BASELINE.md): round the spectral
+    # BACKWARD intermediates (adjoint-DFT cotangents) to bf16 at the HBM
+    # boundary, and store the forward DFT outputs bf16 in train mode so the
+    # whole cotangent chain stays bf16. Thread via
+    # generator `spectral_kwargs={'spectral_bf16_grads': True}`. Only active
+    # under the bf16 compute policy; fp32 parity numerics untouched.
+    spectral_bf16_grads: bool = False
     mode: ServingMode = DEFAULT_MODE
     bn_axis_name: Optional[str] = None
     dtype: Optional[Dtype] = None
@@ -171,6 +178,10 @@ class FourierUnit(nn.Module):
         from ..ops.spectral import irfft2_dft, rfft2_dft, use_dft_for
 
         orig_dtype = x.dtype
+        # round-5 train lever (attr doc): bf16 fwd stores + bf16 adjoint
+        # stores for every DFT in this unit when training under bf16 compute
+        gb16 = (self.spectral_bf16_grads and train
+                and self._spectral_dtype() == jnp.bfloat16)
         if SPECTRAL_SKIP and self.has_variable('params', 'conv_layer'):
             # probe-only identity (params already exist, so checkpoints/init
             # are unaffected); data-dependent so XLA cannot constant-fold the
@@ -211,7 +222,9 @@ class FourierUnit(nn.Module):
             if dft:
                 f_re, f_im = rfft2_dft(x, norm=self.fft_norm,
                                        dtype=self._spectral_dtype(),
-                                       store_bf16=self.mode.spectral_bf16_store)
+                                       store_bf16=(self.mode.spectral_bf16_store
+                                                   or gb16),
+                                       grads_bf16=gb16)
             else:
                 fft = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2), norm=self.fft_norm)
                 f_re, f_im = fft.real, fft.imag
@@ -265,7 +278,9 @@ class FourierUnit(nn.Module):
             y = jax.nn.relu(y)
             out = irfft2_dft(y[..., :cout], y[..., cout:], s=(h, w),
                              norm=self.fft_norm, dtype=cdt,
-                             store_bf16=self.mode.spectral_bf16_store)
+                             store_bf16=(self.mode.spectral_bf16_store
+                                         or gb16),
+                             grads_bf16=gb16)
             if self.spatial_scale_factor is not None:
                 out = interpolate(out, size=orig_size,
                                   mode=self.spatial_scale_mode,
@@ -302,7 +317,9 @@ class FourierUnit(nn.Module):
         elif dft:
             out = irfft2_dft(y[..., 0], y[..., 1], s=(h, w), norm=self.fft_norm,
                              dtype=self._spectral_dtype(),
-                             store_bf16=self.mode.spectral_bf16_store)
+                             store_bf16=(self.mode.spectral_bf16_store
+                                         or gb16),
+                             grads_bf16=gb16)
         else:
             fft_out = jax.lax.complex(y[..., 0], y[..., 1])
             out = jnp.fft.irfft2(fft_out, s=(h, w), axes=(1, 2), norm=self.fft_norm)

@@ -98,15 +98,7 @@ def _es(eq, a, b, dtype, store_bf16=False):
                       preferred_element_type=out_dtype, precision=precision)
 
 
-def rfft2_dft(x, norm: str = 'ortho', dtype=jnp.float32,
-              store_bf16: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """rfft2 over axes (1, 2) of NHWC input via matmuls.
-    Returns (real, imag), each (B, H, W//2+1, C) fp32 (bf16 when
-    store_bf16 and the operands are bf16)."""
-    if STACKED_DFT:
-        return rfft2_dft_stacked(x, norm=norm, dtype=dtype)
-    if PACKED_DFT:
-        return rfft2_dft_packed(x, norm=norm, dtype=dtype)
+def _rfft2_dft_impl(x, norm, dtype, store_bf16):
     _, h, w, _ = x.shape
     wr, wi = _rdft_mats(w, norm)
     xr = _es('bhwc,wf->bhfc', x, wr, dtype, store_bf16)
@@ -119,14 +111,24 @@ def rfft2_dft(x, norm: str = 'ortho', dtype=jnp.float32,
     return yr, yi
 
 
-def irfft2_dft(fr, fi, s: Tuple[int, int], norm: str = 'ortho',
-               dtype=jnp.float32, store_bf16: bool = False) -> jnp.ndarray:
-    """Inverse of rfft2_dft: (B, H, W//2+1, C) re/im -> (B, H, W, C) real.
-    H-axis inverse uses conj(D) (D symmetric unitary for ortho)."""
+def rfft2_dft(x, norm: str = 'ortho', dtype=jnp.float32,
+              store_bf16: bool = False,
+              grads_bf16: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """rfft2 over axes (1, 2) of NHWC input via matmuls.
+    Returns (real, imag), each (B, H, W//2+1, C) fp32 (bf16 when
+    store_bf16 and the operands are bf16). grads_bf16: round the BACKWARD
+    (adjoint-DFT) intermediates to bf16 at the HBM boundary too — the
+    round-5 train lever (see the custom-vjp section below)."""
     if STACKED_DFT:
-        return irfft2_dft_stacked(fr, fi, s, norm=norm, dtype=dtype)
+        return rfft2_dft_stacked(x, norm=norm, dtype=dtype)
     if PACKED_DFT:
-        return irfft2_dft_packed(fr, fi, s, norm=norm, dtype=dtype)
+        return rfft2_dft_packed(x, norm=norm, dtype=dtype)
+    if grads_bf16:
+        return _rfft2_dft_g16(x, norm, dtype, store_bf16)
+    return _rfft2_dft_impl(x, norm, dtype, store_bf16)
+
+
+def _irfft2_dft_impl(fr, fi, s, norm, dtype, store_bf16):
     h, w = s
     hr, hi = _dft_mats(h, norm)
     inv_scale = 1.0 if norm == 'ortho' else 1.0 / h
@@ -139,6 +141,112 @@ def irfft2_dft(fr, fi, s: Tuple[int, int], norm: str = 'ortho',
     # x[w] = Re(sum_f X[f] e^{+i ang}) = Xr·cos − Xi·sin; ci carries the −sin
     return (_es('bhfc,fw->bhwc', xr, cr, dtype, store_bf16)
             + _es('bhfc,fw->bhwc', xi, ci, dtype, store_bf16))
+
+
+def irfft2_dft(fr, fi, s: Tuple[int, int], norm: str = 'ortho',
+               dtype=jnp.float32, store_bf16: bool = False,
+               grads_bf16: bool = False) -> jnp.ndarray:
+    """Inverse of rfft2_dft: (B, H, W//2+1, C) re/im -> (B, H, W, C) real.
+    H-axis inverse uses conj(D) (D symmetric unitary for ortho)."""
+    if STACKED_DFT:
+        return irfft2_dft_stacked(fr, fi, s, norm=norm, dtype=dtype)
+    if PACKED_DFT:
+        return irfft2_dft_packed(fr, fi, s, norm=norm, dtype=dtype)
+    if grads_bf16:
+        return _irfft2_dft_g16(fr, fi, s, norm, dtype, store_bf16)
+    return _irfft2_dft_impl(fr, fi, s, norm, dtype, store_bf16)
+
+
+# ---------------------------------------------------------------------------
+# bf16-stored spectral BACKWARD (round-5 train lever, VERDICT r4 item 2).
+#
+# The round-5 HLO audit of the fused GAN step (probes/_t_train_hlo.py,
+# BASELINE.md) found 8.5 GB of the program's 53.9 GB HBM writes are
+# W/H-transposed f32 spectral tensors in the G-BACKWARD — the round-4
+# forward-side bf16-store lever never reaches cotangents. The DFT is linear,
+# so its VJP needs no residuals: the backward is the adjoint transform,
+# expressed below with the same cached matrices. With grads_bf16 the adjoint
+# einsums round their outputs to bf16 at the HBM boundary exactly like the
+# forward lever (MXU accumulation stays fp32); the returned cotangent is
+# cast to the primal dtype (bf16 under the train compute policy).
+# Numerics-changing for gradients -> gated on a 400-step training-trajectory
+# comparison before shipping as a default (tests/test_spectral.py pins the
+# adjoint math against jax autodiff in fp32, where it is exact).
+# ---------------------------------------------------------------------------
+
+
+from functools import lru_cache as _lru_cache  # noqa: E402
+
+
+@_lru_cache(maxsize=None)
+def _rfft2_g16_fn(norm, dtype, store_bf16, hw, in_dtype):
+    # custom_vjp built per static config via closure (nondiff_argnums
+    # rejects dtype classes, and residuals may not carry np.dtype objects);
+    # lru_cache keeps one function object per config so jit tracing caches
+    # hit. Keyed on the input (H, W)/dtype so bwd closes over them and the
+    # residual stays empty (the DFT is linear — no residuals needed).
+    h, w = hw
+
+    @jax.custom_vjp
+    def f(x):
+        return _rfft2_dft_impl(x, norm, dtype, store_bf16)
+
+    def fwd(x):
+        return _rfft2_dft_impl(x, norm, dtype, store_bf16), None
+
+    def bwd(_, g):
+        gr, gi = g
+        wr, wi = _rdft_mats(w, norm)
+        hr, hi = _dft_mats(h, norm)
+        gxr = (_es('bkfc,hk->bhfc', gr, hr, dtype, True)
+               + _es('bkfc,hk->bhfc', gi, hi, dtype, True))
+        gxi = (_es('bkfc,hk->bhfc', gi, hr, dtype, True)
+               - _es('bkfc,hk->bhfc', gr, hi, dtype, True))
+        gx = (_es('bhfc,wf->bhwc', gxr, wr, dtype, True)
+              + _es('bhfc,wf->bhwc', gxi, wi, dtype, True))
+        return (gx.astype(in_dtype),)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def _rfft2_dft_g16(x, norm, dtype, store_bf16):
+    return _rfft2_g16_fn(norm, dtype, store_bf16,
+                         (x.shape[1], x.shape[2]), str(x.dtype))(x)
+
+
+@_lru_cache(maxsize=None)
+def _irfft2_g16_fn(s, norm, dtype, store_bf16, f_dtypes):
+    h, w = s
+    fr_dtype, fi_dtype = f_dtypes
+
+    @jax.custom_vjp
+    def f(fr, fi):
+        return _irfft2_dft_impl(fr, fi, s, norm, dtype, store_bf16)
+
+    def fwd(fr, fi):
+        return _irfft2_dft_impl(fr, fi, s, norm, dtype, store_bf16), None
+
+    def bwd(_, gy):
+        cr, ci = _irdft_mats(w, norm)
+        hr, hi = _dft_mats(h, norm)
+        inv_scale = 1.0 if norm == 'ortho' else 1.0 / h
+        ihr, ihi = hr.T * inv_scale, -hi.T * inv_scale
+        gxr = _es('bhwc,fw->bhfc', gy, cr, dtype, True)
+        gxi = _es('bhwc,fw->bhfc', gy, ci, dtype, True)
+        gfr = (_es('bhfc,kh->bkfc', gxr, ihr, dtype, True)
+               + _es('bhfc,kh->bkfc', gxi, ihi, dtype, True))
+        gfi = (_es('bhfc,kh->bkfc', gxi, ihr, dtype, True)
+               - _es('bhfc,kh->bkfc', gxr, ihi, dtype, True))
+        return gfr.astype(fr_dtype), gfi.astype(fi_dtype)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def _irfft2_dft_g16(fr, fi, s, norm, dtype, store_bf16):
+    return _irfft2_g16_fn(tuple(s), norm, dtype, store_bf16,
+                          (str(fr.dtype), str(fi.dtype)))(fr, fi)
 
 
 def use_dft_for(h: int, w: int) -> bool:

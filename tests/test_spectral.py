@@ -6,6 +6,7 @@ norm='ortho' (reference ffc.py:86,108), matched here against jnp.fft.
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from lama_tpu.ops import spectral
@@ -332,3 +333,89 @@ def test_serving_loader_sets_bf16_store(tmp_path):
     with _pytest.raises(ValueError, match='spectral_bf16_store'):
         load_serving_model(str(model_dir), 'best', precision='fp32',
                            spectral_bf16_store=True)
+
+
+def test_grads_bf16_adjoint_exact_fp32():
+    """The custom-vjp adjoint (grads_bf16 path) equals jax autodiff of the
+    plain DFT in fp32, where _es applies no bf16 rounding (the rounding is
+    train-only and bf16-only). Pins the adjoint einsum algebra."""
+    from lama_tpu.ops import spectral
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 8, 10, 3).astype(np.float32))
+
+    def loss_plain(x):
+        fr, fi = spectral.rfft2_dft(x, dtype=jnp.float32)
+        y = spectral.irfft2_dft(fr * 1.3 + 0.1, fi * 0.7, s=x.shape[1:3],
+                                dtype=jnp.float32)
+        return jnp.sum(y ** 2) + jnp.sum(fr * fi)
+
+    def loss_g16(x):
+        fr, fi = spectral.rfft2_dft(x, dtype=jnp.float32, grads_bf16=True)
+        y = spectral.irfft2_dft(fr * 1.3 + 0.1, fi * 0.7, s=x.shape[1:3],
+                                dtype=jnp.float32, grads_bf16=True)
+        return jnp.sum(y ** 2) + jnp.sum(fr * fi)
+
+    g0 = jax.grad(loss_plain)(x)
+    g1 = jax.grad(loss_g16)(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_grads_bf16_rounds_backward_under_bf16():
+    """Under the bf16 compute policy the grads_bf16 backward rounds at the
+    HBM boundary: gradients stay close to the fp32 adjoint (bf16 tolerance)
+    and the primal output matches the store_bf16 forward exactly."""
+    from lama_tpu.ops import spectral
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))
+
+    fr_a, fi_a = spectral.rfft2_dft(x, dtype=jnp.bfloat16, store_bf16=True)
+    fr_b, fi_b = spectral.rfft2_dft(x, dtype=jnp.bfloat16, store_bf16=True,
+                                    grads_bf16=True)
+    np.testing.assert_array_equal(np.asarray(fr_a, np.float32),
+                                  np.asarray(fr_b, np.float32))
+
+    def loss(x, g16):
+        fr, fi = spectral.rfft2_dft(x, dtype=jnp.bfloat16, store_bf16=True,
+                                    grads_bf16=g16)
+        y = spectral.irfft2_dft(fr, fi, s=x.shape[1:3], dtype=jnp.bfloat16,
+                                store_bf16=True, grads_bf16=g16)
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    g_ref = jax.grad(lambda t: loss(t, False))(x)
+    g_b16 = jax.grad(lambda t: loss(t, True))(x)
+    err = np.abs(np.asarray(g_b16) - np.asarray(g_ref)).max()
+    scale = np.abs(np.asarray(g_ref)).max()
+    assert err <= 0.03 * scale, (err, scale)
+
+
+def test_fourier_unit_spectral_bf16_grads_train_step():
+    """spectral_bf16_grads threads through FourierUnit: train-mode gradients
+    stay within bf16 rounding of the baseline; eval output is unchanged
+    vs the plain module (flag inert outside training)."""
+    from lama_tpu.models.ffc import FourierUnit
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 8, 8, 6).astype(np.float32))
+
+    def make(g16):
+        return FourierUnit(6, use_dft_matmul=True, dtype=jnp.bfloat16,
+                           spectral_bf16_grads=g16)
+
+    v = make(False).init(jax.random.PRNGKey(0), x, train=True)
+
+    def loss(params, g16):
+        fu = make(g16)
+        out, _ = fu.apply({'params': params,
+                           'batch_stats': v['batch_stats']}, x, train=True,
+                          mutable=['batch_stats'])
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g_ref = jax.grad(lambda p: loss(p, False))(v['params'])
+    g_b16 = jax.grad(lambda p: loss(p, True))(v['params'])
+    ref_k = np.asarray(g_ref['conv_layer']['kernel'])
+    b16_k = np.asarray(g_b16['conv_layer']['kernel'])
+    assert np.abs(b16_k - ref_k).max() <= 0.05 * (np.abs(ref_k).max() + 1e-6)
+    # eval path identical with and without the flag
+    out_a = make(False).apply(v, x, train=False)
+    out_b = make(True).apply(v, x, train=False)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
