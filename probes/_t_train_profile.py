@@ -37,11 +37,11 @@ DTYPE = jnp.bfloat16
 
 
 def build_step(with_pl=False, fm_weight=100.0, r1_every=1, no_r1=False,
-               sgd=False, serving_mode=None):
+               sgd=False, serving_mode=None, spectral_kwargs=None):
     gen = make_generator(
         'ffc_resnet', input_nc=4, output_nc=3, ngf=64, n_downsampling=3,
         n_blocks=18, add_out_act='sigmoid', dtype=DTYPE,
-        serving_mode=serving_mode,
+        serving_mode=serving_mode, spectral_kwargs=spectral_kwargs,
         init_conv_kwargs=dict(ratio_gin=0, ratio_gout=0, enable_lfu=False),
         downsample_conv_kwargs=dict(ratio_gin=0, ratio_gout=0, enable_lfu=False),
         resnet_conv_kwargs=dict(ratio_gin=0.75, ratio_gout=0.75, enable_lfu=False))
@@ -129,6 +129,14 @@ def main():
         from lama_tpu.ops.serving_mode import ServingMode
         run('full_bf16store', with_pl=True,
             serving_mode=ServingMode(spectral_bf16_store=True))
+    if only is not None and 'full_g16' in only:
+        # round-5 lever (train HLO audit, BASELINE.md): bf16-stored spectral
+        # BACKWARD intermediates (custom-vjp adjoint DFTs). The audit charges
+        # 8.51 GB of the 53.9 GB writes to f32 spectral backward tensors ->
+        # ceiling ~5 ms if fully halved. Numerics-changing for gradients:
+        # ship only behind the 400-step trajectory gate.
+        run('full_g16', with_pl=True,
+            spectral_kwargs=dict(spectral_bf16_grads=True))
     run('base')
     run('no_r1', no_r1=True)
     run('no_fm', fm_weight=0.0)
