@@ -641,6 +641,12 @@ class FFCResNetGenerator(nn.Module):
     out_ffc: bool = False
     out_ffc_kwargs: Optional[dict] = None
     spectral_kwargs: Optional[dict] = None  # forwarded to every FourierUnit
+    # jax.checkpoint each bottleneck block: backward recomputes the block
+    # forward instead of loading saved residuals — trades HBM writes (the
+    # train step is write-saturated, BASELINE.md HLO audit) and memory for
+    # recompute FLOPs. Numerics-identical (tests/test_ffc.py); train-time
+    # only lever, off by default pending an on-chip measurement.
+    remat_blocks: bool = False
     # static serving configuration (ops/serving_mode.py), threaded to every
     # conv / spectral op in the tree — replaces the round-4 process-global
     # serving flags (VERDICT r4 weak #5)
@@ -701,15 +707,21 @@ class FFCResNetGenerator(nn.Module):
             st_kwargs = None
             if self.spatial_transform_layers is not None and i in self.spatial_transform_layers:
                 st_kwargs = dict(self.spatial_transform_kwargs or {})
-            block = FFCResnetBlock(feats, padding_type=self.padding_type,
-                                   activation=self.activation,
-                                   ratio_gin=resnet_kw.get('ratio_gin', 0.75),
-                                   ratio_gout=resnet_kw.get('ratio_gout', 0.75),
-                                   enable_lfu=resnet_kw.get('enable_lfu', True),
-                                   name=f'model_{idx}', **common)
+            # remat only the plain-block case (spatial-transform wrappers call
+            # the inner module with keyword args, incompatible with the lifted
+            # transform's positional static_argnums)
+            use_remat = self.remat_blocks and st_kwargs is None
+            block_cls = (nn.remat(FFCResnetBlock, static_argnums=(2,))
+                         if use_remat else FFCResnetBlock)
+            block = block_cls(feats, padding_type=self.padding_type,
+                              activation=self.activation,
+                              ratio_gin=resnet_kw.get('ratio_gin', 0.75),
+                              ratio_gout=resnet_kw.get('ratio_gout', 0.75),
+                              enable_lfu=resnet_kw.get('enable_lfu', True),
+                              name=f'model_{idx}', **common)
             if st_kwargs is not None:
                 block = LearnableSpatialTransformWrapper(block, name=f'model_{idx}_st', **st_kwargs)
-            x = block(x, train=train)
+            x = block(x, train) if use_remat else block(x, train=train)
             idx += 1
 
         # --- ConcatTupleLayer (no params)

@@ -174,6 +174,41 @@ def main():
         finally:
             s2d_mod.conv2d_reflect_phase = real_phase
 
+    if want('head_pad_zero'):
+        # Bound the out-head reflect-pad residual (~4.3 ms isolated, phase
+        # 6.90 vs phase_nopad 2.59): time the headline with the pad folded
+        # into the conv as XLA-native ZERO padding (no pad tensor exists).
+        # TIMING BOUND ONLY — border semantics wrong; if the in-graph gap is
+        # real, the exact version recomputes the 3-px border strips with
+        # reflect pad and pastes them (interior identical).
+        import jax.lax as lax
+        from lama_tpu.serving import calibrate_int8
+        from lama_tpu.ops import s2d_conv as s2d_mod
+        from lama_tpu.ops.s2d_conv import depth_to_space, pack_kernel_phase
+
+        def phase_zero(x, kernel, bias=None, a=8, padding_mode='reflect'):
+            p = kernel.shape[0] // 2
+            wp = pack_kernel_phase(kernel, a)
+            out = lax.conv_general_dilated(
+                x, wp, (a, a), ((p, p), (p, p)),
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                preferred_element_type=jnp.float32)
+            out = depth_to_space(out, a).astype(x.dtype)
+            if bias is not None:
+                out = out + bias.reshape(1, 1, 1, -1).astype(out.dtype)
+            return out
+
+        gen_z = build(mode=HEADLINE)
+        v_z = calibrate_int8(gen_z, variables,
+                             [(np.asarray(img), np.asarray(mask))])
+        real_phase = s2d_mod.conv2d_reflect_phase
+        s2d_mod.conv2d_reflect_phase = phase_zero
+        try:
+            results['head_pad_zero'] = time_variant('head_pad_zero', gen_z,
+                                                    v_z, img, mask)
+        finally:
+            s2d_mod.conv2d_reflect_phase = real_phase
+
     if {'full', 'spectral_skip', 'no_blocks'} <= set(results):
         f, s, r = (results['full'], results['spectral_skip'],
                    results['no_blocks'])

@@ -37,11 +37,13 @@ DTYPE = jnp.bfloat16
 
 
 def build_step(with_pl=False, fm_weight=100.0, r1_every=1, no_r1=False,
-               sgd=False, serving_mode=None, spectral_kwargs=None):
+               sgd=False, serving_mode=None, spectral_kwargs=None,
+               remat_blocks=False):
     gen = make_generator(
         'ffc_resnet', input_nc=4, output_nc=3, ngf=64, n_downsampling=3,
         n_blocks=18, add_out_act='sigmoid', dtype=DTYPE,
         serving_mode=serving_mode, spectral_kwargs=spectral_kwargs,
+        remat_blocks=remat_blocks,
         init_conv_kwargs=dict(ratio_gin=0, ratio_gout=0, enable_lfu=False),
         downsample_conv_kwargs=dict(ratio_gin=0, ratio_gout=0, enable_lfu=False),
         resnet_conv_kwargs=dict(ratio_gin=0.75, ratio_gout=0.75, enable_lfu=False))
@@ -136,6 +138,15 @@ def main():
         # ceiling ~5 ms if fully halved. Numerics-changing for gradients:
         # ship only behind the 400-step trajectory gate.
         run('full_g16', with_pl=True,
+            spectral_kwargs=dict(spectral_bf16_grads=True))
+    if only is not None and 'full_remat' in only:
+        # round-5 lever #2 from the train HLO audit: jax.checkpoint each
+        # bottleneck block — trades the 7.4 GB of fwd-side residual writes
+        # for recompute (itself HBM-bound; audit predicts a wash — measure
+        # once). Numerics-identical (tests/test_ffc.py remat test).
+        run('full_remat', with_pl=True, remat_blocks=True)
+    if only is not None and 'full_g16_remat' in only:
+        run('full_g16_remat', with_pl=True, remat_blocks=True,
             spectral_kwargs=dict(spectral_bf16_grads=True))
     run('base')
     run('no_r1', no_r1=True)

@@ -144,3 +144,52 @@ def test_ffc_discriminator(rng):
     score, feats = disc.apply(variables, x, train=False)
     assert score.shape[-1] == 1
     assert len(feats) == 4  # n_layers + 1 pre-score activations
+
+
+def test_generator_remat_blocks_numerics_identical(rng):
+    """remat_blocks=True must be a pure recompute schedule: identical param
+    tree; train-mode forward/batch_stats/gradients equal to fp32 fusion
+    noise (XLA schedules fusions differently under checkpoint, so bit-
+    exactness is not guaranteed — but the math is the same ops)."""
+    x = to_nhwc(rng.rand(2, 4, 32, 32).astype(np.float32))
+    gen_a = FFCResNetGenerator(**BIG_LAMA_KW)
+    gen_b = FFCResNetGenerator(remat_blocks=True, **BIG_LAMA_KW)
+    v_a = gen_a.init(jax.random.PRNGKey(0), x, train=True)
+    v_b = gen_b.init(jax.random.PRNGKey(0), x, train=True)
+    flat_a = jax.tree_util.tree_leaves_with_path(v_a['params'])
+    flat_b = jax.tree_util.tree_leaves_with_path(v_b['params'])
+    assert [p for p, _ in flat_a] == [p for p, _ in flat_b]
+    for (_, la), (_, lb) in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+    def loss(gen, v):
+        out, upd = gen.apply({'params': v['params'],
+                              'batch_stats': v['batch_stats']}, x,
+                             train=True, mutable=['batch_stats'])
+        return jnp.sum(out.astype(jnp.float32) ** 2), (out, upd)
+
+    (l_a, (out_a, upd_a)), g_a = jax.value_and_grad(
+        lambda p: loss(gen_a, {'params': p,
+                               'batch_stats': v_a['batch_stats']}),
+        has_aux=True)(v_a['params'])
+    (l_b, (out_b, upd_b)), g_b = jax.value_and_grad(
+        lambda p: loss(gen_b, {'params': p,
+                               'batch_stats': v_b['batch_stats']}),
+        has_aux=True)(v_b['params'])
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(l_a), float(l_b), rtol=1e-6)
+    leaves_a = jax.tree_util.tree_leaves(g_a)
+    leaves_b = jax.tree_util.tree_leaves(g_b)
+    # normalize by the GLOBAL gradient scale: leaves whose own gradient is
+    # cancellation noise (~1e-6 of the global scale) carry no signal and
+    # elementwise rtol on them is meaningless under reassociated fp32
+    gscale = max(float(np.abs(np.asarray(l)).max()) for l in leaves_a)
+    for la, lb in zip(leaves_a, leaves_b):
+        da, db = np.asarray(la), np.asarray(lb)
+        assert np.abs(da - db).max() <= 5e-5 * gscale, (
+            np.abs(da - db).max(), gscale)
+    for la, lb in zip(jax.tree_util.tree_leaves(upd_a['batch_stats']),
+                      jax.tree_util.tree_leaves(upd_b['batch_stats'])):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-5, atol=1e-7)
