@@ -3,7 +3,7 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Serving mode: int8 with calibrated static activation scales, zero-padded
-quantized convs, bf16-stored spectral intermediates and the s2d out head
+quantized convs, bf16-stored spectral intermediates and the phase-conv out head
 (the fastest shipped configuration, `bin/predict.py precision=int8
 quant_calibration=K quant_zero_pad=true spectral_bf16_store=true
 s2d_out_head=true`):
@@ -125,7 +125,7 @@ def main():
     print(json.dumps({
         'metric': (f'big-lama {SIZE}^2 inpainted images/sec/chip (int8 '
                    f'serving, static scales + zero-pad + bf16 spectral '
-                   f'store + s2d out head, batch {BATCH})'),
+                   f'store + phase-conv out head, batch {BATCH})'),
         'value': round(img_per_s, 2),
         'unit': 'img/s/chip',
         'vs_baseline': round(img_per_s / A100_BASELINE_IMG_S, 2),
