@@ -152,7 +152,7 @@ def main():
             results['headline_noblocks'] = time_variant(
                 'headline_noblocks', gen0, v0, img, mask)
 
-    if want('phase_vs_s2d'):
+    if want('phase_vs_s2d') or want('head_phase'):
         # Round-5 out-head side-by-side under the headline mode, one process:
         # the new phase-conv dispatch (shipped) vs the round-4 s2d-domain
         # conv (reached by patching the phase entry point back).
@@ -163,6 +163,7 @@ def main():
                                   [(np.asarray(img), np.asarray(mask))])
         results['head_phase'] = time_variant('head_phase', gen_h, v_static,
                                              img, mask)
+    if want('phase_vs_s2d'):
         real_phase = s2d_mod.conv2d_reflect_phase
         s2d_mod.conv2d_reflect_phase = (
             lambda x, k, bias=None, a=8, padding_mode='reflect':
