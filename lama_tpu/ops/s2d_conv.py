@@ -176,6 +176,59 @@ def conv2d_reflect_phase(x, kernel, bias=None, a: int = 8,
     return out
 
 
+def conv2d_reflect_phase_zsplit(x, kernel, bias=None, a: int = 8,
+                                padding_mode: str = 'reflect'):
+    """Exact reflect-pad + stride-1 conv with NO materialised pad tensor.
+
+    The phase conv above still reflect-pads the input first — at the out-head
+    shape that pad is a ~549 MB copy of a ~543 MB tensor (B16 x 518^2 x 64
+    bf16), ~4.3 ms of write+read traffic for 6 rows/cols of actual new
+    values (round-5 isolation: phase 6.90 ms vs phase_nopad 2.59 ms).
+    Zero padding and reflect padding agree everywhere the conv window stays
+    in bounds, so instead: (1) run the stride-`a` phase conv with XLA-NATIVE
+    zero padding (lax pads lazily inside the conv — no padded copy exists),
+    then (2) recompute the p-row/col border strips with true reflect
+    semantics from thin slices of x and paste them. The strips read/write
+    O(p/H) of the tensor — compute noise at the head shape.
+    Same products as reflect-pad + conv (reassociation class only)."""
+    b, h, w_in, c = x.shape
+    k = kernel.shape[0]
+    p = k // 2
+    c_out = kernel.shape[-1]
+    if padding_mode != 'reflect' or h < 4 * p or w_in < 4 * p:
+        return conv2d_reflect_phase(x, kernel, bias=bias, a=a,
+                                    padding_mode=padding_mode)
+    wp = pack_kernel_phase(kernel, a)
+    core = jax.lax.conv_general_dilated(
+        x, wp, (a, a), ((p, p), (p, p)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        preferred_element_type=jnp.float32)
+    out = depth_to_space(core, a)  # (b, h, w, c_out) f32
+
+    def strip(xs, pads):
+        xs = pad2d(xs, pads, mode=padding_mode)
+        return jax.lax.conv_general_dilated(
+            xs, kernel, (1, 1), 'VALID',
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            preferred_element_type=jnp.float32)
+
+    # outputs y < p read original rows [y-p, y+p] <= [-p, 2p-1]; ditto the
+    # other three borders. Top/bottom strips span the full width (reflect on
+    # both column borders), so left/right strips only cover y in [p, h-p).
+    top = strip(x[:, :2 * p], ((p, 0), (p, p)))
+    bot = strip(x[:, h - 2 * p:], ((0, p), (p, p)))
+    lef = strip(x[:, :, :2 * p], ((0, 0), (p, 0)))
+    rig = strip(x[:, :, w_in - 2 * p:], ((0, 0), (0, p)))
+    out = out.at[:, :p].set(top)
+    out = out.at[:, h - p:].set(bot)
+    out = out.at[:, p:h - p, :p].set(lef)
+    out = out.at[:, p:h - p, w_in - p:].set(rig)
+    out = out.astype(x.dtype)
+    if bias is not None:
+        out = out + bias.reshape(1, 1, 1, -1).astype(out.dtype)
+    return out
+
+
 def s2d_factor_for(h: int, w: int, c: int, c_out: int, k: int, s: int,
                    out_head_only: bool = False):
     """Per-shape s2d factor from v5e measurements (BASELINE.md round 2):

@@ -210,6 +210,23 @@ def main():
         finally:
             s2d_mod.conv2d_reflect_phase = real_phase
 
+    if want('head_zsplit'):
+        # The EXACT pad-free out head (zero-padded phase core + recomputed
+        # reflect border strips, ops/s2d_conv.py::conv2d_reflect_phase_zsplit)
+        # — the shippable version of the head_pad_zero bound.
+        from lama_tpu.serving import calibrate_int8
+        from lama_tpu.ops import s2d_conv as s2d_mod
+        gen_z = build(mode=HEADLINE)
+        v_z = calibrate_int8(gen_z, variables,
+                             [(np.asarray(img), np.asarray(mask))])
+        real_phase = s2d_mod.conv2d_reflect_phase
+        s2d_mod.conv2d_reflect_phase = s2d_mod.conv2d_reflect_phase_zsplit
+        try:
+            results['head_zsplit'] = time_variant('head_zsplit', gen_z,
+                                                  v_z, img, mask)
+        finally:
+            s2d_mod.conv2d_reflect_phase = real_phase
+
     if {'full', 'spectral_skip', 'no_blocks'} <= set(results):
         f, s, r = (results['full'], results['spectral_skip'],
                    results['no_blocks'])

@@ -60,6 +60,45 @@ def test_phase_conv_matches_torch_reflect(rng, k, a, h, w, c, co):
                                ref, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize('k,a,h,w,c,co', [
+    (7, 8, 64, 64, 64, 3),    # the big-lama out head shape family
+    (7, 8, 64, 72, 16, 3),    # non-square
+    (7, 4, 32, 32, 8, 6),
+    (3, 8, 64, 64, 12, 2),
+    (5, 2, 20, 20, 4, 4),
+])
+def test_phase_zsplit_matches_torch_reflect(rng, k, a, h, w, c, co):
+    """Round-5 pad-free out head: zero-padded phase conv core + recomputed
+    reflect border strips must equal reflect-pad + stride-1 conv exactly —
+    borders included."""
+    from lama_tpu.ops.s2d_conv import conv2d_reflect_phase_zsplit
+    p = k // 2
+    x = rng.randn(2, h, w, c).astype(np.float32)
+    kern = rng.randn(k, k, c, co).astype(np.float32) * 0.1
+    bias = rng.randn(co).astype(np.float32)
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    kt = torch.from_numpy(np.transpose(kern, (3, 2, 0, 1)))
+    ref = TF.conv2d(TF.pad(xt, [p] * 4, mode='reflect'), kt,
+                    bias=torch.from_numpy(bias), stride=1).numpy()
+    out = conv2d_reflect_phase_zsplit(jnp.asarray(x), jnp.asarray(kern),
+                                      bias=jnp.asarray(bias), a=a)
+    np.testing.assert_allclose(np.transpose(np.asarray(out), (0, 3, 1, 2)),
+                               ref, rtol=1e-4, atol=1e-4)
+
+
+def test_phase_zsplit_small_input_falls_back(rng):
+    """Inputs too small for the strip decomposition (< 4p) route through the
+    padded phase conv — same values either way."""
+    from lama_tpu.ops.s2d_conv import (conv2d_reflect_phase,
+                                       conv2d_reflect_phase_zsplit)
+    x = rng.randn(1, 8, 8, 4).astype(np.float32)
+    kern = rng.randn(7, 7, 4, 2).astype(np.float32) * 0.1
+    a = conv2d_reflect_phase(jnp.asarray(x), jnp.asarray(kern), a=4)
+    b = conv2d_reflect_phase_zsplit(jnp.asarray(x), jnp.asarray(kern), a=4)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_phase_conv_matches_s2d_conv(rng):
     """The two out-head implementations agree (same algebra, different
     data movement)."""
