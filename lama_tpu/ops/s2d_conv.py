@@ -229,6 +229,35 @@ def conv2d_reflect_phase_zsplit(x, kernel, bias=None, a: int = 8,
     return out
 
 
+def conv2d_reflect_xfold(x, kernel, bias=None, padding_mode: str = 'reflect'):
+    """reflect-pad + stride-1 conv for THIN-INPUT convs (the stem: 7x7,
+    C=4): fold the kernel's kx taps into input channels (partial im2col
+    along x only) so the MXU contraction dim becomes k*C instead of C.
+
+    The fold is k shifted SLICES concatenated on the channel axis — each
+    slice is a contiguous copy (no lane-crossing permute, unlike the s2d
+    transpose that sank the full-table s2d path, see above). The conv
+    collapses to (k, 1) spatial taps over k*C channels: same products,
+    conv reassociation class only. Stem shape maths: contraction 4 -> 28
+    lanes, fold traffic ~0.5 GB/batch (~0.6 ms) vs the 32x lane padding
+    waste of the direct conv (measured 5.46 ms, ~8x its roofline)."""
+    b, h, w_in, c = x.shape
+    k = kernel.shape[0]
+    p = k // 2
+    xp = pad2d(x, ((p, p), (p, p)), mode=padding_mode)
+    xf = jnp.concatenate([xp[:, :, dx:dx + w_in, :] for dx in range(k)],
+                         axis=-1)
+    # xf channel index = dx*c + ci == kernel.reshape(k, k*c, co) kx-major
+    wf = kernel.reshape(k, 1, k * c, kernel.shape[-1])
+    out = jax.lax.conv_general_dilated(
+        xf, wf, (1, 1), 'VALID',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    if bias is not None:
+        out = out + bias.reshape(1, 1, 1, -1).astype(out.dtype)
+    return out
+
+
 def s2d_factor_for(h: int, w: int, c: int, c_out: int, k: int, s: int,
                    out_head_only: bool = False):
     """Per-shape s2d factor from v5e measurements (BASELINE.md round 2):

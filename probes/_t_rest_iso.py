@@ -82,6 +82,16 @@ def main():
             'stem', lambda t: jax.nn.relu(
                 conv2d(t, w, bias=b, padding=3, padding_mode='reflect')), x)
 
+    # --- stem x-fold candidate (round 5): kx taps folded into channels
+    if want('stem_xfold'):
+        from lama_tpu.ops.s2d_conv import conv2d_reflect_xfold
+        x = bf16((B, S, S, 4))
+        w = (jax.random.normal(key, (7, 7, 4, 64)) * 0.05).astype(jnp.bfloat16)
+        b = jnp.zeros((64,), jnp.bfloat16)
+        results['stem_xfold'] = slope(
+            'stem_xfold', lambda t: jax.nn.relu(
+                conv2d_reflect_xfold(t, w, bias=b)), x)
+
     # --- downs: int8 + zero-pad + static scale (the headline path)
     for i, (cin, cout, hw) in enumerate([(64, 128, 512), (128, 256, 256),
                                          (256, 512, 128)], start=1):

@@ -172,3 +172,27 @@ def test_s2d_out_head_serving_end_to_end(tmp_path, rng):
     known = mask[..., 0] == 0
     np.testing.assert_allclose(outs['s2d'][known], img[known], atol=2 / 255)
     np.testing.assert_allclose(outs['s2d'], outs['plain'], atol=2 / 255)
+
+
+@pytest.mark.parametrize('k,h,w,c,co', [
+    (7, 32, 32, 4, 64),   # the big-lama stem shape family
+    (7, 32, 40, 3, 8),    # non-square, odd channels
+    (5, 16, 16, 2, 6),
+    (3, 16, 24, 4, 4),
+])
+def test_xfold_conv_matches_torch_reflect(rng, k, h, w, c, co):
+    """Round-5 stem candidate: kx taps folded into input channels (partial
+    im2col) must equal reflect-pad + stride-1 conv exactly."""
+    from lama_tpu.ops.s2d_conv import conv2d_reflect_xfold
+    p = k // 2
+    x = rng.randn(2, h, w, c).astype(np.float32)
+    kern = rng.randn(k, k, c, co).astype(np.float32) * 0.1
+    bias = rng.randn(co).astype(np.float32)
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    kt = torch.from_numpy(np.transpose(kern, (3, 2, 0, 1)))
+    ref = TF.conv2d(TF.pad(xt, [p] * 4, mode='reflect'), kt,
+                    bias=torch.from_numpy(bias), stride=1).numpy()
+    out = conv2d_reflect_xfold(jnp.asarray(x), jnp.asarray(kern),
+                               bias=jnp.asarray(bias))
+    np.testing.assert_allclose(np.transpose(np.asarray(out), (0, 3, 1, 2)),
+                               ref, rtol=1e-4, atol=1e-4)
