@@ -55,7 +55,8 @@ def main(argv):
         precision=cfg.get('precision', 'bf16'),
         quant_zero_pad=bool(cfg.get('quant_zero_pad', False)),
         spectral_bf16_store=bool(cfg.get('spectral_bf16_store', False)),
-        s2d_out_head=bool(cfg.get('s2d_out_head', False)))
+        s2d_out_head=bool(cfg.get('s2d_out_head', False)),
+        xfold_stem=bool(cfg.get('xfold_stem', False)))
     wire = str(cfg.get('wire', 'fp32'))
     _predict = make_inpaint_forward(
         generator, wire=wire, out_key=str(cfg.get('out_key', 'inpainted')))

@@ -72,7 +72,8 @@ def main(argv):
         quant_zero_pad=bool(predict_config.get('quant_zero_pad', False)),
         spectral_bf16_store=bool(predict_config.get('spectral_bf16_store',
                                                     False)),
-        s2d_out_head=bool(predict_config.get('s2d_out_head', False)))
+        s2d_out_head=bool(predict_config.get('s2d_out_head', False)),
+        xfold_stem=bool(predict_config.get('xfold_stem', False)))
 
     out_ext = predict_config.get('out_ext', '.png')
     modulo = predict_config.dataset.pad_out_to_modulo

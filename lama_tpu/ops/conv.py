@@ -198,11 +198,14 @@ def _conv2d_reflect_border_concat(x, kernel, stride, padding, dilation, groups):
 
 
 def conv2d(x, kernel, bias=None, stride=1, padding=0, dilation=1, groups=1,
-           padding_mode='zeros', s2d: Optional[str] = None):
+           padding_mode='zeros', s2d: Optional[str] = None,
+           xfold: bool = False):
     """Functional 2-D convolution, NHWC input, HWIO kernel, torch semantics.
 
     s2d: space-to-depth dispatch policy (None | 'out_head' | 'all') — see
-    the module doc above and ops/s2d_conv.py."""
+    the module doc above and ops/s2d_conv.py.
+    xfold: route thin-INPUT 7x7 stride-1 reflect convs through the kx-tap
+    channel fold (ServingMode.xfold_stem; exact semantics)."""
     stride = _pair(stride)
     dilation = _pair(dilation)
     padding = _pair(padding) if not (isinstance(padding, (tuple, list)) and
@@ -220,14 +223,23 @@ def conv2d(x, kernel, bias=None, stride=1, padding=0, dilation=1, groups=1,
         if bias is not None:
             out = out + bias.reshape(1, 1, 1, -1).astype(out.dtype)
         return out
+    if (xfold and padding_mode == 'reflect' and groups == 1
+            and dilation == (1, 1) and stride == (1, 1)
+            and kernel.shape[0] == kernel.shape[1] == 7
+            and x.shape[-1] <= 8
+            and padding[0] == padding[1]
+            and padding[0][0] == padding[0][1] == kernel.shape[0] // 2
+            and jax.default_backend() not in ('cpu',)):
+        from .s2d_conv import conv2d_reflect_xfold
+        return conv2d_reflect_xfold(x, kernel, bias=bias)
     if (s2d is not None and padding_mode == 'reflect' and groups == 1
             and dilation == (1, 1) and stride[0] == stride[1]
             and kernel.shape[0] == kernel.shape[1]
             and padding[0] == padding[1]
             and padding[0][0] == padding[0][1] == kernel.shape[0] // 2
             and jax.default_backend() not in ('cpu',)):
-        from .s2d_conv import (conv2d_reflect_phase, conv2d_reflect_s2d,
-                               s2d_factor_for)
+        from .s2d_conv import (conv2d_reflect_phase_zsplit,
+                               conv2d_reflect_s2d, s2d_factor_for)
         a = s2d_factor_for(x.shape[1], x.shape[2], x.shape[3], kernel.shape[3],
                            kernel.shape[0], stride[0],
                            out_head_only=(s2d == 'out_head'))
@@ -235,8 +247,12 @@ def conv2d(x, kernel, bias=None, stride=1, padding=0, dilation=1, groups=1,
             if stride[0] == 1 and kernel.shape[3] <= 8:
                 # thin-OUTPUT head: the stride-a phase conv avoids the s2d
                 # input transpose entirely (15.9 -> 6.9 ms isolated at the
-                # big-lama head, probes/_t_out_head_iso.py)
-                return conv2d_reflect_phase(x, kernel, bias=bias, a=a)
+                # big-lama head, probes/_t_out_head_iso.py); the zsplit
+                # variant further removes the materialised reflect-pad copy
+                # (zero-pad core + recomputed border strips, exact) —
+                # in-graph 70.9 -> 69.7 ms/batch on the round-5 headline
+                # program (probes/_t_int8_profile.py head_zsplit)
+                return conv2d_reflect_phase_zsplit(x, kernel, bias=bias, a=a)
             return conv2d_reflect_s2d(x, kernel, bias=bias, stride=stride[0],
                                       a=a)
     if (USE_PALLAS_REFLECT and padding_mode == 'reflect'
@@ -429,7 +445,8 @@ class Conv2d(nn.Module):
                      bias=None if bias is None else bias,
                      stride=self.stride, padding=self.padding, dilation=self.dilation,
                      groups=self.groups, padding_mode=self.padding_mode,
-                     s2d=None if self.mode.s2d == 'off' else self.mode.s2d)
+                     s2d=None if self.mode.s2d == 'off' else self.mode.s2d,
+                     xfold=self.mode.xfold_stem)
         return out
 
 

@@ -240,7 +240,12 @@ def conv2d_reflect_xfold(x, kernel, bias=None, padding_mode: str = 'reflect'):
     collapses to (k, 1) spatial taps over k*C channels: same products,
     conv reassociation class only. Stem shape maths: contraction 4 -> 28
     lanes, fold traffic ~0.5 GB/batch (~0.6 ms) vs the 32x lane padding
-    waste of the direct conv (measured 5.46 ms, ~8x its roofline)."""
+    waste of the direct conv (measured 5.46 ms, ~8x its roofline).
+
+    MEASURED in-graph NEGATIVE (2026-08-20, ServingMode.xfold_stem under
+    the round-5 headline program): 70.9 -> 117.2 ms/batch — the shifted-
+    slice concat materialises at full resolution and severs the stem from
+    its producer fusion. Kept for probes; do not re-wire."""
     b, h, w_in, c = x.shape
     k = kernel.shape[0]
     p = k // 2

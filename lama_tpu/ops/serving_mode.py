@@ -36,6 +36,15 @@ class ServingMode:
         shipped +2.4% exact-semantics lever: 7x7 thin-output head only) |
         'all' (the full measured shape table in ops/s2d_conv.py — a bf16-era
         in-graph NEGATIVE kept for probes).
+    xfold_stem: route thin-INPUT 7x7 stride-1 reflect convs (the stem:
+        C_in=4, MXU contraction 4/128 lanes) through the kx-tap channel
+        fold (ops/s2d_conv.py::conv2d_reflect_xfold) — EXACT semantics
+        (conv reassociation class only, parity-tested vs torch). MEASURED
+        in-graph NEGATIVE on the round-5 headline program: 70.9 ->
+        117.2 ms/batch (probes/_t_int8_profile.py headline_xfold,
+        2026-08-20) — the 7-slice channel concat materialises at full res
+        and breaks producer fusion, swamping the 5.46 ms isolated stem.
+        Kept default-off for probes, like s2d='all'.
     calibrating: int8 calibration pass — eligible convs sow their input
         activation amax into a 'quant_stats' collection instead of serving
         (serving.py::calibrate_int8 drives this via generator.clone()).
@@ -48,6 +57,7 @@ class ServingMode:
     zero_pad: bool = False
     spectral_bf16_store: bool = False
     s2d: str = 'off'
+    xfold_stem: bool = False
     calibrating: bool = False
     min_contraction_channels: int = 64
     min_out_channels: int = 32

@@ -21,7 +21,8 @@ def load_serving_model(model_path: str, checkpoint: str = 'best',
                        precision: str = 'bf16',
                        quant_zero_pad: bool = False,
                        spectral_bf16_store: bool = False,
-                       s2d_out_head: bool = False) -> Tuple[object, dict, dict]:
+                       s2d_out_head: bool = False,
+                       xfold_stem: bool = False) -> Tuple[object, dict, dict]:
     """Build the generator from <model_path>/config.yaml and load weights from
     <model_path>/models/<checkpoint> (orbax dir or reference torch .ckpt).
     Returns (generator, variables, gen_kwargs).
@@ -42,7 +43,11 @@ def load_serving_model(model_path: str, checkpoint: str = 'best',
     only (the conv is MXU-lane-padding-bound: 3 output channels pad to 128
     lanes). EXACT semantics (ops/s2d_conv.py, parity-tested vs torch);
     measured +2.4% on the round-4 headline program (78.0 → 76.2 ms/batch —
-    the bf16-era in-graph negative inverted under the int8 program)."""
+    the bf16-era in-graph negative inverted under the int8 program).
+
+    `xfold_stem`: fold the stem's kx taps into input channels
+    (ops/s2d_conv.py::conv2d_reflect_xfold) — exact semantics; round-5
+    candidate lever, default off pending the on-chip measurement."""
     train_config = load_yaml(os.path.join(model_path, 'config.yaml'))
     resolve_interpolations(train_config)
     gen_kwargs = dict(train_config.generator)
@@ -66,7 +71,8 @@ def load_serving_model(model_path: str, checkpoint: str = 'best',
     mode = ServingMode(int8=(precision == 'int8'),
                        zero_pad=bool(quant_zero_pad),
                        spectral_bf16_store=bool(spectral_bf16_store),
-                       s2d='out_head' if s2d_out_head else 'off')
+                       s2d='out_head' if s2d_out_head else 'off',
+                       xfold_stem=bool(xfold_stem))
     generator = make_generator(kind, serving_mode=mode, dtype=dtype,
                                **gen_kwargs)
 

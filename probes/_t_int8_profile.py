@@ -210,6 +210,18 @@ def main():
         finally:
             s2d_mod.conv2d_reflect_phase = real_phase
 
+    if want('headline_xfold'):
+        # Round-5 stem candidate IN-GRAPH: the kx-tap channel fold
+        # (ops/s2d_conv.py::conv2d_reflect_xfold) under the full headline
+        # program via ServingMode.xfold_stem — side-by-side with head_phase
+        # (same process). Exact semantics; ship = xfold_stem=true.
+        from lama_tpu.serving import calibrate_int8
+        gen_x = build(mode=HEADLINE.but(xfold_stem=True))
+        v_x = calibrate_int8(gen_x, variables,
+                             [(np.asarray(img), np.asarray(mask))])
+        results['headline_xfold'] = time_variant('headline_xfold', gen_x,
+                                                 v_x, img, mask)
+
     if want('head_zsplit'):
         # The EXACT pad-free out head (zero-padded phase core + recomputed
         # reflect border strips, ops/s2d_conv.py::conv2d_reflect_phase_zsplit)

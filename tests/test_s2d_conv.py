@@ -196,3 +196,29 @@ def test_xfold_conv_matches_torch_reflect(rng, k, h, w, c, co):
                                bias=jnp.asarray(bias))
     np.testing.assert_allclose(np.transpose(np.asarray(out), (0, 3, 1, 2)),
                                ref, rtol=1e-4, atol=1e-4)
+
+
+def test_xfold_stem_mode_plumbing(tmp_path):
+    """ServingMode.xfold_stem threads from load_serving_model to the conv
+    dispatch (gated off on CPU — forward must be identical to the default
+    mode) and composes with the headline options."""
+    import sys as _sys
+    import os as _os
+    REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    _sys.path.insert(0, _os.path.join(REPO, 'bin'))
+    from test_predict_cli import make_model_dir
+    from lama_tpu.serving import load_serving_model, make_inpaint_forward
+
+    model_dir = make_model_dir(tmp_path)
+    gen_x, v_x, _ = load_serving_model(str(model_dir), 'best',
+                                       precision='bf16', xfold_stem=True)
+    assert gen_x.mode.xfold_stem
+    gen_p, v_p, _ = load_serving_model(str(model_dir), 'best',
+                                       precision='bf16')
+    assert not gen_p.mode.xfold_stem
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    mask = jnp.asarray((rng.rand(1, 64, 64, 1) > 0.7).astype(np.float32))
+    out_x = np.asarray(make_inpaint_forward(gen_x)(v_x, img, mask))
+    out_p = np.asarray(make_inpaint_forward(gen_p)(v_p, img, mask))
+    np.testing.assert_array_equal(out_x, out_p)
