@@ -13,7 +13,9 @@
 # Run: nohup bash probes/_campaign_r5.sh > /root/campaign_r5.log 2>&1 &
 set -e
 cd /root/repo
-export PYTHONPATH=/root/repo
+# APPEND to PYTHONPATH — the default /root/.axon_site registers the axon
+# PJRT plugin; clobbering it kills the TPU backend (verify skill 2026-08-20)
+export PYTHONPATH=/root/repo${PYTHONPATH:+:$PYTHONPATH}
 DATA=/root/synth_places
 RUN=/root/run_r5
 DEPLOY=/root/deploy_r5

@@ -14,7 +14,7 @@
 # Run: nohup bash probes/_traj_gate_g16.sh > /root/traj_gate_g16.log 2>&1 &
 set -e
 cd /root/repo
-export PYTHONPATH=/root/repo
+export PYTHONPATH=/root/repo${PYTHONPATH:+:$PYTHONPATH}
 DATA=/root/synth_places
 RUN=/root/run_r5_g16
 export LAMA_DATA_ROOT=$DATA
