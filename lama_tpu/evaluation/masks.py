@@ -24,8 +24,16 @@ LOGGER = logging.getLogger(__name__)
 
 
 class ObjectMask:
-    """Bbox-cropped binary mask with flip/rescale/shift/crop-to-canvas algebra
-    (reference mask.py:19-132)."""
+    """Bbox-cropped binary mask with flip/rescale/shift/crop-to-canvas algebra.
+
+    DELIBERATE FAITHFUL PORT of reference mask.py:19-132 (method-for-method,
+    same names, same deepcopy/inplace idiom): the flip/rescale/shift algebra
+    must be SEMANTICALLY IDENTICAL for mask-suite parity — any drift changes
+    the generated mask distribution and invalidates cross-framework
+    benchmark comparisons. It is host-side numpy with no TPU angle, so there
+    is no hardware-motivated reason to restructure it; keeping the
+    reference's shape makes the parity argument auditable by diff. The
+    surrounding SegmentationMask placement engine below is a re-design."""
 
     def __init__(self, mask):
         self.height, self.width = mask.shape
