@@ -125,7 +125,7 @@ def main():
     print(json.dumps({
         'metric': (f'big-lama {SIZE}^2 inpainted images/sec/chip (int8 '
                    f'serving, static scales + zero-pad + bf16 spectral '
-                   f'store + phase-conv out head, batch {BATCH})'),
+                   f'store + pad-free phase out head, batch {BATCH})'),
         'value': round(img_per_s, 2),
         'unit': 'img/s/chip',
         'vs_baseline': round(img_per_s / A100_BASELINE_IMG_S, 2),
